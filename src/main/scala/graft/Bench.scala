@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.sources.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Two measurements:
+  *  1. `queries`: per-query wall time of every SparkEntry query on
+  *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (driver contract).
+  *  2. `scaling`: the north-rule evidence — the full parse→enrich→route→
+  *     aggregate pipeline over an identical synthetic transcript table
+  *     (deterministic, generated distributed via spark.range, with a hot
+  *     conversation) run at local[N] and local[4N]; reports turns/sec at
+  *     both and efficiency = T_N / T_4N / 4 … i.e.
+  *     (tput_4N / tput_N) / 4. Criterion: ≥ 0.8 (BASELINE.json north_rule).
+  *
+  * The timed job consumes every routed column (sums of lengths) so column
+  * pruning cannot skip the repr/entry construction work; a warmup run
+  * excludes JIT/codegen compilation from the measurement.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Full-pipeline job over n synthetic turns; returns elapsed seconds. */
+  private def pipelineRun(spark: SparkSession, nTurns: Long): Double = {
+    val turns = Transcripts.synthetic(spark, nTurns, nConvs = 50000, skewPct = 2)
+    val routed = Pipeline.routed(turns, Transcripts.lookup(spark),
+      PipelineConfig(saltBlockSize = Some(65536)))
+    val t0 = System.nanoTime()
+    routed.agg(
+      count(lit(1)),
+      sum(length(col("row_repr"))), sum(length(col("old_repr"))),
+      sum(length(col("new_repr"))), sum(length(col("text"))),
+      sum(col("txn_id"))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    val nSmall = math.max(1, cpus / 4)
+
+    // --- scaling evidence: local[N] then local[4N] on identical input ---
+    val sN = session(nSmall)
+    pipelineRun(sN, benchTurns / 20) // warmup: JIT + codegen
+    val secN = pipelineRun(sN, benchTurns)
+    sN.stop()
+
+    val s4N = session(cpus)
+    pipelineRun(s4N, benchTurns / 20)
+    val sec4N = pipelineRun(s4N, benchTurns)
+    val tputN = benchTurns / secN
+    val tput4N = benchTurns / sec4N
+    val efficiency = (tput4N / tputN) / (cpus.toDouble / nSmall)
+
+    // --- per-query timings at local[4N] on the sf dir ---
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(s4N, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val scaling =
+      s"""{"cpus_n":$nSmall,"cpus_4n":$cpus,"turns":$benchTurns,""" +
+      s""""sec_n":$secN,"sec_4n":$sec4N,""" +
+      s""""turns_per_sec_n":${tputN.round},"turns_per_sec_4n":${tput4N.round},""" +
+      s""""efficiency":${math.rint(efficiency * 1000) / 1000}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_turns_per_sec":${tput4N.round},"scaling":$scaling}""")
+    s4N.stop()
   }
 }

@@ -16,18 +16,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 case class PipelineConfig(
     includeRoles: Seq[String] = Nil,
-    includeTools: Seq[String] = Nil)
+    includeTools: Seq[String] = Nil,
+    /** When set, use the skew-safe salted txn stamping with this block size
+      * (see [[graft.operators.TxnStamp.stampSalted]]); None = plain window.
+      */
+    saltBlockSize: Option[Int] = None)
 
 object Pipeline {
 
   /** Parsed + txn-stamped + lookup-enriched turns (pre-explode). */
-  def enriched(turns: DataFrame, lookup: DataFrame): DataFrame =
-    Enrich.withLookup(TxnStamp.stamp(Parse.parse(turns)), lookup)
+  def enriched(turns: DataFrame, lookup: DataFrame,
+      cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val parsed = Parse.parse(turns)
+    val stamped = cfg.saltBlockSize match {
+      case Some(sz) => TxnStamp.stampSalted(parsed, sz)
+      case None => TxnStamp.stamp(parsed)
+    }
+    Enrich.withLookup(stamped, lookup)
+  }
 
   /** Full routed message stream. */
   def routed(turns: DataFrame, lookup: DataFrame,
       cfg: PipelineConfig = PipelineConfig()): DataFrame =
-    Route.includeFilters(Route.messages(enriched(turns, lookup)),
+    Route.includeFilters(Route.messages(enriched(turns, lookup, cfg)),
       cfg.includeRoles, cfg.includeTools)
 
   /** Convenience: routed stream over the sfDir-derived transcript table. */

@@ -1,19 +1,18 @@
 package graft
 
-import graft.operators._
-import graft.sources.Transcripts
+import graft.operators.Agg
+import graft.packs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-/** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each with a DuckDB oracle over the same parquet tables.
-  *
-  * Transcript-pipeline queries read `events.parquet` through
-  * [[Transcripts.fromEvents]], a derivation whose value semantics are
-  * engine-identical, so the DuckDB oracle reproduces the exact same turns
-  * via [[Transcripts.turnsCte]] and checks the operator itself.
+/** Driver contract — aggregates every query pack. Each pack pairs Spark
+  * queries with DuckDB oracles over the same parquet tables (see
+  * [[graft.packs.QueryPack]]); packs: transcript pipeline (SURVEY.md §2),
+  * text analysis, dedup family, similarity search, relational coverage.
   */
 object SparkEntry {
+
+  private val packs: Seq[QueryPack] =
+    Seq(TranscriptPack, TextPack, DedupPack, AnnPack, RelationalPack, MultimodalPack)
 
   /** Flagship: per-sink routed-message counts on sf0.001 (the aggregate the
     * north rule grades — K3 fan-out + A1 counts).
@@ -21,192 +20,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Agg.sinkCounts(Pipeline.routedFromEvents(spark, "/root/testdata/sf0.001"))
 
-  private def turns(s: SparkSession, dir: String): DataFrame =
-    Transcripts.fromEvents(s, dir)
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
 
-  private def enriched(s: SparkSession, dir: String): DataFrame =
-    Pipeline.enriched(turns(s, dir), Transcripts.lookup(s))
-
-  // ---- shared DuckDB oracle fragments (mirror Parse/Enrich/TxnStamp) ----
-
-  private val duckParsed = """parsed AS (
-    SELECT *,
-      regexp_extract(text, '^EVENT (insert|update|delete|query|commit)\b', 1) AS kind,
-      regexp_extract(text, 'stmt=(.*)$', 1) AS stmt,
-      (regexp_extract(text, '^EVENT (insert|update|delete|query|commit)\b', 1) = 'query'
-        AND (upper(trim(regexp_extract(text, 'stmt=(.*)$', 1))) = 'BEGIN'
-             OR starts_with(upper(trim(regexp_extract(text, 'stmt=(.*)$', 1))), 'SAVEPOINT'))) AS suppressed,
-      CASE WHEN regexp_extract(text, '^EVENT (insert|update|delete|query|commit)\b', 1) = 'commit'
-           THEN CAST(regexp_extract(text, 'xid=(\d+)', 1) AS BIGINT) END AS xid,
-      CASE WHEN regexp_extract(text, '^EVENT (insert|update|delete|query|commit)\b', 1) IN ('insert','update','delete')
-           THEN CAST(regexp_extract(text, 'rows=(\d+)', 1) AS INT) END AS rows_declared,
-      CASE WHEN regexp_extract(text, '^EVENT (insert|update|delete|query|commit)\b', 1) IN ('insert','update','delete')
-           THEN list_transform(string_split(regexp_extract(text, 'vals=(.*)$', 1), ';'),
-                               g -> string_split(regexp_replace(g, '^\[|\]$', '', 'g'), '|'))
-      END AS vals
-    FROM turns)"""
-
-  private val duckStamped = """stamped AS (
-    SELECT *, first_value(CASE WHEN kind = 'commit' THEN xid END IGNORE NULLS)
-      OVER (PARTITION BY conv_id ORDER BY turn_idx
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS txn_id
-    FROM parsed)"""
-
-  private val duckEnriched = """enriched AS (
-    SELECT p.*, l.field_names,
-      (p.kind IN ('insert','update','delete') AND l.field_names IS NOT NULL) AS matched
-    FROM stamped p LEFT JOIN lookup l ON p.role = l.role AND p.tool = l.tool)"""
-
-  /** DuckDB expression: canonical "k=v,..." repr of one physical row `v`
-    * against `field_names` (mirrors [[Enrich.rowRepr]]).
-    */
-  private def duckRepr(v: String): String =
-    s"""array_to_string(list_sort(
-       CASE WHEN len($v) <> len(field_names)
-         THEN list_transform($v, (x, i) -> '(unknown_' || CAST(i - 1 AS STRING) || ')=' || x)
-         ELSE list_transform($v, (x, i) -> field_names[i] || '=' || x)
-       END), ',')"""
-
-  private def duckNotice(v: String): String =
-    s"""CASE WHEN len($v) > len(field_names) THEN 'column names array is missing field(s), will map them as unknown_*'
-            WHEN len($v) < len(field_names) THEN 'row is missing field(s), ignoring missing'
-            ELSE '' END"""
-
-  /** Messages-per-turn and output tool, for route-count oracles. */
-  private val duckRoutedCounts = """routable AS (
-    SELECT role,
-      CASE WHEN kind = 'query' AND NOT suppressed THEN '(unknown)' ELSE tool END AS tool,
-      CASE WHEN kind = 'query' AND NOT suppressed THEN 'Query'
-           WHEN kind = 'insert' THEN 'Insert' WHEN kind = 'delete' THEN 'Delete'
-           ELSE 'Update' END AS event_type,
-      CASE WHEN kind = 'query' AND NOT suppressed THEN 1
-           WHEN matched AND txn_id IS NOT NULL AND kind IN ('insert','delete') THEN len(vals)
-           WHEN matched AND txn_id IS NOT NULL AND kind = 'update'
-                AND len(vals) >= 2 AND len(vals) % 2 = 0 THEN len(vals) // 2
-           ELSE 0 END AS n_messages
-    FROM enriched)"""
-
-  private def withTurns(body: String): String =
-    s"${Transcripts.turnsCte} $body"
-
-  private def withEnriched(body: String): String =
-    s"${Transcripts.turnsAndLookupCte}, $duckParsed, $duckStamped, $duckEnriched $body"
-
-  // ---------------------------------------------------------------------
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1 + P4: the derived transcript scan itself (proves cross-engine
-    // generator identity + RFC3339 time formatting, message.go:28)
-    "s1_scan_turns" -> ((s, dir) =>
-      turns(s, dir).select(
-        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("text"),
-        Parse.eventTime(col("ts")).as("event_time"))),
-
-    // P1/P2: grammar parse + dispatch + BEGIN/SAVEPOINT classification
-    "p1_parse" -> ((s, dir) =>
-      Parse.parse(turns(s, dir)).select(
-        col("conv_id"), col("turn_idx"), col("kind"), col("stmt"),
-        col("suppressed").cast("int").as("suppressed"),
-        col("xid"), col("rows_declared"),
-        size(col("vals")).as("n_rows"))),
-
-    // G1/G2: commit-xid backward propagation (txn stamping)
-    "g2_txn_stamp" -> ((s, dir) =>
-      TxnStamp.stamp(Parse.parse(turns(s, dir))).select(
-        col("conv_id"), col("turn_idx"), col("kind"), col("txn_id"))),
-
-    // E1/E3: broadcast lookup join + matched/dropped flags
-    "e3_lookup" -> ((s, dir) =>
-      enriched(s, dir)
-        .filter(col("kind").isin("insert", "update", "delete"))
-        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
-          col("matched").cast("int").as("matched"),
-          size(col("field_names")).as("n_fields"))),
-
-    // E4/E5: positional zip + exact mismatch notices
-    "e4_zip_notice" -> ((s, dir) =>
-      enriched(s, dir)
-        .filter(col("matched"))
-        .select(col("conv_id"), col("turn_idx"),
-          array_join(transform(col("vals"),
-            v => Enrich.rowRepr(col("field_names"), v)), ";").as("reprs"),
-          Enrich.mappingNotice(col("field_names"),
-            element_at(col("vals"), 1)).as("notice"))),
-
-    // T4: update old/new pairing
-    "t4_update_pairs" -> ((s, dir) =>
-      enriched(s, dir)
-        .filter(col("kind") === "update" && col("matched") && col("txn_id").isNotNull)
-        .select(col("conv_id"), col("turn_idx"),
-          (size(col("vals")) / 2).cast("int").as("n_pairs"),
-          Enrich.rowRepr(col("field_names"), element_at(col("vals"), 1)).as("old_repr"),
-          Enrich.rowRepr(col("field_names"), element_at(col("vals"), 2)).as("new_repr"))),
-
-    // K3 + A: the flagship per-sink routed counts
-    "k3_route_counts" -> ((s, dir) =>
-      Agg.sinkCounts(Pipeline.routedFromEvents(s, dir))),
-
-    // F1/F2: include filters with pass-if-blank
-    "f1_include_filters" -> ((s, dir) =>
-      Agg.sinkCounts(Pipeline.routedFromEvents(s, dir,
-        PipelineConfig(includeTools = Seq("search"))))),
-
-    // A1: conservation ledger
-    "a1_reconcile" -> ((s, dir) =>
-      Agg.reconcile(enriched(s, dir)))
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "s1_scan_turns" -> withTurns(
-      """SELECT conv_id, turn_idx, role, tool, text,
-         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS event_time FROM turns"""),
-
-    "p1_parse" -> (s"${Transcripts.turnsCte}, $duckParsed " +
-      """SELECT conv_id, turn_idx, kind, stmt, CAST(suppressed AS INT) AS suppressed,
-         xid, rows_declared, CAST(len(vals) AS INT) AS n_rows FROM parsed"""),
-
-    "g2_txn_stamp" -> (s"${Transcripts.turnsCte}, $duckParsed, $duckStamped " +
-      "SELECT conv_id, turn_idx, kind, txn_id FROM stamped"),
-
-    "e3_lookup" -> withEnriched(
-      """SELECT conv_id, turn_idx, role, tool, CAST(matched AS INT) AS matched,
-         CAST(len(field_names) AS INT) AS n_fields
-         FROM enriched WHERE kind IN ('insert','update','delete')"""),
-
-    "e4_zip_notice" -> withEnriched(
-      s"""SELECT conv_id, turn_idx,
-          array_to_string(list_transform(vals, v -> ${duckRepr("v")}), ';') AS reprs,
-          ${duckNotice("vals[1]")} AS notice
-          FROM enriched WHERE matched"""),
-
-    "t4_update_pairs" -> withEnriched(
-      s"""SELECT conv_id, turn_idx, CAST(len(vals) // 2 AS INT) AS n_pairs,
-          ${duckRepr("vals[1]")} AS old_repr, ${duckRepr("vals[2]")} AS new_repr
-          FROM enriched
-          WHERE kind = 'update' AND matched AND txn_id IS NOT NULL"""),
-
-    "k3_route_counts" -> withEnriched(
-      s""", $duckRoutedCounts
-          SELECT role, tool, event_type, CAST(SUM(n_messages) AS BIGINT) AS n
-          FROM routable WHERE n_messages > 0
-          GROUP BY role, tool, event_type"""),
-
-    "f1_include_filters" -> withEnriched(
-      s""", $duckRoutedCounts
-          SELECT role, tool, event_type, CAST(SUM(n_messages) AS BIGINT) AS n
-          FROM routable WHERE n_messages > 0 AND (tool = '' OR tool IN ('search'))
-          GROUP BY role, tool, event_type"""),
-
-    "a1_reconcile" -> withEnriched(
-      """SELECT CAST(count(*) AS BIGINT) AS turns,
-         CAST(SUM(CASE WHEN kind IN ('insert','update','delete') THEN 1 ELSE 0 END) AS BIGINT) AS row_events,
-         CAST(SUM(CASE WHEN kind = 'query' AND NOT suppressed THEN 1 ELSE 0 END) AS BIGINT) AS query_kept,
-         CAST(SUM(CASE WHEN kind = 'query' AND suppressed THEN 1 ELSE 0 END) AS BIGINT) AS query_suppressed,
-         CAST(SUM(CASE WHEN kind = 'commit' THEN 1 ELSE 0 END) AS BIGINT) AS commits,
-         CAST(SUM(CASE WHEN kind = '' THEN 1 ELSE 0 END) AS BIGINT) AS noise,
-         CAST(SUM(CASE WHEN kind IN ('insert','update','delete') AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS dropped_unmapped,
-         CAST(SUM(CASE WHEN matched AND txn_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_uncommitted,
-         CAST(SUM(CASE WHEN matched AND txn_id IS NOT NULL THEN len(vals) ELSE 0 END) AS BIGINT) AS routable_physical_rows
-         FROM enriched""")
-  )
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracleSql).toMap
 }

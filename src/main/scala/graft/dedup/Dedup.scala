@@ -1,0 +1,117 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation over `documents`.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Exact dedup is one
+  * hash aggregation; MinHash/SimHash candidate generation is
+  * explode-by-band + equi-self-join on the band bucket (shuffle keyed by
+  * band hash, so only colliding docs ever meet), and the verify step runs
+  * per candidate pair. At 100 TB the band join is the dominant shuffle and
+  * is bounded by bucket sizes, not corpus size.
+  *
+  * All hashing is md5-derived integer arithmetic (engine-portable, exact):
+  * h(s) = int(md5(s)[0:8], 16) ∈ [0, 2^32); permutations
+  * h_j(x) = (a_j·x + b_j) mod P with P = 4294967311 (smallest prime > 2^32)
+  * — the classic MinHash construction (Broder '97); a_j·x < 2^38 so no
+  * int64 overflow.
+  */
+object Dedup {
+
+  val P = 4294967311L
+  val NumHashes = 16
+  val BandRows = 4 // 16 hashes = 4 bands x 4 rows
+  val NumBands: Int = NumHashes / BandRows
+  def aCoef(j: Int): Long = 2L * j + 3
+  def bCoef(j: Int): Long = 5L * j + 7
+
+  /** 32-bit integer hash of a string, identical in Spark and DuckDB. */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: one hash-aggregate; keeper = min doc_id per content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+
+  /** Distinct token 3-gram shingles of `text`. */
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  /** (doc_id, sig): MinHash signatures. Intermediate shingle-hash array is
+    * materialized as a projection so the 16 permutations share it instead
+    * of re-hashing the shingles 16 times.
+    */
+  def minhashSigs(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), transform(shingles(col("text")), s => h32(s)).as("base"))
+    val sig = array((0 until NumHashes).map { j =>
+      array_min(transform(col("base"), x => pmod(x * aCoef(j) + bCoef(j), lit(P))))
+    }: _*)
+    base.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** (doc_id, band_idx, band_hash): LSH banding of the MinHash signature.
+    * Docs sharing any band hash are near-duplicate candidates.
+    */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val bandHashes = array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (1 to BandRows).map(r => element_at(col("sig"), b * BandRows + r)): _*))
+    }: _*)
+    minhashSigs(docs)
+      .select(col("doc_id"), posexplode(bandHashes))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Distinct candidate pairs (a < b) from shared LSH band buckets. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val l = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"))
+    val r = bands.select(col("band_idx").as("band_idx_r"),
+      col("band_hash").as("band_hash_r"), col("doc_id").as("b"))
+    l.join(r, l("band_idx") === r("band_idx_r") &&
+        l("band_hash") === r("band_hash_r") && l("a") < r("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Candidate pairs + exact shingle-set Jaccard as integer
+    * intersection/union sizes (is_dup at threshold 0.8 via 10·∩ ≥ 8·∪ —
+    * integer math keeps the oracle exact).
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = docs.filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    minhashCandidates(docs)
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("uni"))
+      .withColumn("is_dup", (col("inter") * 10 >= col("uni") * 8).cast("int"))
+  }
+
+  /** (doc_id, sh32): 32-bit SimHash over the token multiset — bit j is set
+    * iff at least half of the tokens have bit j set in their 32-bit hash.
+    * Token hashes are materialized once and shared by the 32 bit counters.
+    */
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    val withHashes = docs.select(col("doc_id"),
+      transform(TextAnalysis.tokens(col("text")), t => h32(t)).as("hs"))
+    val n = size(col("hs"))
+    val bits = (0 until 32).map { j =>
+      when(size(filter(col("hs"),
+        h => pmod(shiftright(h, j), lit(2)) === 1)) * 2 >= n,
+        lit(1L << j)).otherwise(lit(0L))
+    }
+    withHashes.select(col("doc_id"), bits.reduce(_ + _).as("sh32"))
+  }
+}

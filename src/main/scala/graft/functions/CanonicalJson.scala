@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Canonical pretty-JSON serializer reproducing Go's `json.MarshalIndent`
+  * rendering of the reference's message structs byte-for-byte
+  * (`parser/consumer_chain.go:61-81,103-109`, fixtures
+  * `data/fixtures/0*.json`):
+  *
+  *  - struct fields in declaration order (Header, Type, Data / OldData,
+  *    NewData / Query — `messages/message.go:59-96`)
+  *  - map keys alphabetical (Go map marshal order; entries arrive pre-sorted
+  *    from [[graft.operators.Route.rowEntries]])
+  *  - 4-space indent, newline-delimited messages
+  *  - Go's HTML-safe escaping: `<` `>` `&` → < > &;
+  *    control chars → \t \n \r or \u00xx; UTF-8 passes through
+  *  - integer-looking values render as JSON numbers (the binlog decoder
+  *    yields typed ints which Go marshals unquoted — fixture
+  *    `01.json:14` "building_no": 1)
+  *
+  * Spark's `to_json` can do none of this (no pretty-print, no key sort, no
+  * HTML escaping), hence the custom serializer. It runs in a typed `map`
+  * outside codegen — acceptable because golden serialization is the
+  * human/test-facing collector, not the analytical hot path.
+  */
+object CanonicalJson {
+
+  /** Go encoding/json string escaping (HTML-safe mode, the default). */
+  def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '<' => sb.append("\\u003c")
+      case '>' => sb.append("\\u003e")
+      case '&' => sb.append("\\u0026")
+      case c if c == '\u2028' => sb.append("\\u2028")
+      case c if c == '\u2029' => sb.append("\\u2029")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val IntLike = "^-?\\d{1,18}$".r
+
+  /** Values that were integers in the source render unquoted (Go marshals
+    * the decoder's typed ints as numbers).
+    */
+  def renderValue(v: String): String =
+    if (v != null && IntLike.matches(v)) v else "\"" + escape(v) + "\""
+
+  private def renderRowData(entries: Seq[(String, String)], notice: String,
+      indent: String): String = {
+    val inner = indent + "    "
+    val rowBody =
+      if (entries.isEmpty) "{}"
+      else entries.map { case (k, v) =>
+        s"""$inner    "${escape(k)}": ${renderValue(v)}"""
+      }.mkString("{\n", ",\n", s"\n$inner}")
+    s"""{
+       |$inner"Row": $rowBody,
+       |$inner"MappingNotice": "${escape(notice)}"
+       |$indent}""".stripMargin
+  }
+
+  /** One full message document (no trailing newline). */
+  def render(
+      role: String, tool: String, eventTime: String, position: Long, txnId: Long,
+      eventType: String,
+      rowEntries: Seq[(String, String)], oldEntries: Seq[(String, String)],
+      newEntries: Seq[(String, String)], notice: String, query: String): String = {
+    val header =
+      s"""    "Header": {
+         |        "Schema": "${escape(role)}",
+         |        "Table": "${escape(tool)}",
+         |        "BinlogMessageTime": "${escape(eventTime)}",
+         |        "BinlogPosition": $position,
+         |        "XId": $txnId
+         |    },
+         |    "Type": "$eventType"""".stripMargin
+    val payload = eventType match {
+      case "Query" =>
+        s"""    "Query": ${"\"" + escape(query) + "\""}"""
+      case "Update" =>
+        s"""    "OldData": ${renderRowData(oldEntries, notice, "    ")},
+           |    "NewData": ${renderRowData(newEntries, notice, "    ")}""".stripMargin
+      case _ =>
+        s"""    "Data": ${renderRowData(rowEntries, notice, "    ")}"""
+    }
+    s"{\n$header,\n$payload\n}"
+  }
+
+  /** Routed frame → Dataset[String] of canonical JSON documents, in
+    * (conv_id, turn_idx) order within partitions.
+    */
+  def fromRouted(routed: DataFrame): Dataset[String] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    def entries(r: Row, field: String): Seq[(String, String)] = {
+      val raw = r.getAs[scala.collection.Seq[Row]](field)
+      if (raw == null) Nil else raw.map(e => (e.getString(0), e.getString(1))).toSeq
+    }
+    routed.map { r =>
+      render(
+        r.getAs[String]("role"), r.getAs[String]("tool"),
+        r.getAs[String]("event_time"), r.getAs[Long]("position"),
+        r.getAs[Long]("txn_id"), r.getAs[String]("event_type"),
+        entries(r, "row_entries"), entries(r, "old_entries"),
+        entries(r, "new_entries"),
+        Option(r.getAs[String]("mapping_notice")).getOrElse(""),
+        r.getAs[String]("query"))
+    }
+  }
+}

@@ -29,16 +29,35 @@ import org.apache.spark.sql.functions._
 object Route {
 
   private def msgStruct(eventType: Column, rowRepr: Column, oldRepr: Column,
-      newRepr: Column, notice: Column, query: Column): Column =
+      newRepr: Column, notice: Column, query: Column,
+      rowEntries: Column, oldEntries: Column, newEntries: Column): Column =
     struct(
       eventType.as("event_type"),
       rowRepr.as("row_repr"),
       oldRepr.as("old_repr"),
       newRepr.as("new_repr"),
       notice.as("mapping_notice"),
-      query.as("query"))
+      query.as("query"),
+      rowEntries.as("row_entries"),
+      oldEntries.as("old_entries"),
+      newEntries.as("new_entries"))
 
   private val nullStr = lit(null).cast("string")
+  private val entriesType = "array<struct<k:string,v:string>>"
+  private val nullEntries = lit(null).cast(entriesType)
+
+  /** Key-sorted (k,v) entries of one mapped physical row — the Data.Row
+    * analog (`message.go:52-57`), canonical for serialization: Go marshals
+    * map keys alphabetically (§1.3 of SURVEY.md).
+    */
+  def rowEntries(names: Column, vals: Column): Column = {
+    val mismatch = size(vals) =!= size(names)
+    val entries = when(mismatch,
+        transform(vals, (v, i) =>
+          struct(concat(lit("(unknown_"), i.cast("string"), lit(")")).as("k"), v.as("v"))))
+      .otherwise(zip_with(names, vals, (n, v) => struct(n.as("k"), v.as("v"))))
+    array_sort(entries)
+  }
 
   /** Routable row event: lookup matched AND a commit follows in-conversation
     * (`binlog_to_messages.go:41-54,84-87`).
@@ -56,13 +75,15 @@ object Route {
       (size(vals) >= 2) && (size(vals) % 2 === 0)
 
     val queryMsg = array(msgStruct(
-      lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), col("stmt")))
+      lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), col("stmt"),
+      nullEntries, nullEntries, nullEntries))
 
     val insertDeleteMsgs = transform(vals, v => msgStruct(
       when(col("kind") === "insert", Model.EventType.Insert)
         .otherwise(Model.EventType.Delete),
       Enrich.rowRepr(names, v), nullStr, nullStr,
-      Enrich.mappingNotice(names, v), nullStr))
+      Enrich.mappingNotice(names, v), nullStr,
+      rowEntries(names, v), nullEntries, nullEntries))
 
     // old/new adjacent pairs: element_at is 1-based → old = 2i+1, new = 2i+2
     val updateMsgs = transform(
@@ -72,12 +93,16 @@ object Route {
         Enrich.rowRepr(names, element_at(vals, i * 2 + 1)),
         Enrich.rowRepr(names, element_at(vals, i * 2 + 2)),
         Enrich.mappingNotice(names, element_at(vals, i * 2 + 1)),
-        nullStr))
+        nullStr,
+        nullEntries,
+        rowEntries(names, element_at(vals, i * 2 + 1)),
+        rowEntries(names, element_at(vals, i * 2 + 2))))
 
     val msgs = when(queryKept, queryMsg)
       .when(insertDelete, insertDeleteMsgs)
       .when(updateOk, updateMsgs)
-      .otherwise(array().cast("array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,query:string>>"))
+      .otherwise(array().cast(
+        s"array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,query:string,row_entries:$entriesType,old_entries:$entriesType,new_entries:$entriesType>>"))
 
     enriched
       .select(
@@ -97,6 +122,9 @@ object Route {
         col("m.new_repr").as("new_repr"),
         col("m.mapping_notice").as("mapping_notice"),
         col("m.query").as("query"),
+        col("m.row_entries").as("row_entries"),
+        col("m.old_entries").as("old_entries"),
+        col("m.new_entries").as("new_entries"),
         col("text"))
   }
 

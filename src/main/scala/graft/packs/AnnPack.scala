@@ -1,0 +1,68 @@
+package graft.packs
+
+import graft.ann.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings` with DuckDB oracles. The
+  * oracles replicate the sequential-fold double math exactly (left fold,
+  * element-order multiplication), so cosine values are bit-identical.
+  */
+object AnnPack extends QueryPack {
+
+  val QueryIds: Seq[Long] = (0L until 8L)
+  val TopK = 5
+  val NearDupThreshold = 0.25 // the test embeddings are near-orthogonal random vectors; 0.25 is ~2σ
+  val NearDupPlanes = 6
+
+  /** DuckDB: sequential-fold dot product of two double lists. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (p, q) -> p + q)"
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** DuckDB: deterministic hyperplane projection sign bits (mirrors
+    * [[Similarity.lshBucket]]).
+    */
+  private def duckBucket(embCol: String, nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val comp = s"((('0x' || substr(md5('p$p-' || CAST(i AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) - 0.5)"
+      val proj = s"list_reduce(list_transform($embCol, (x, i) -> x * $comp), (p1, p2) -> p1 + p2)"
+      s"CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  def queries = Map(
+    "ann_brute_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
+    "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), 8)),
+    "ann_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDup(emb(s, dir), NearDupThreshold, NearDupPlanes))
+  )
+
+  def oracleSql = Map(
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS q_emb
+                     FROM embeddings WHERE vec_id IN (${QueryIds.mkString(", ")})),
+          c AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS c_emb FROM embeddings)
+          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM (
+            SELECT q, neighbor,
+              row_number() OVER (PARTITION BY q
+                ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
+            FROM c, q WHERE q <> neighbor)
+          WHERE rank <= $TopK""",
+
+    "ann_lsh_buckets" ->
+      s"""SELECT vec_id, ${duckBucket("emb", 8)} AS bucket
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)""",
+
+    "ann_cosine_neardup" ->
+      s"""WITH b AS (SELECT vec_id, emb, ${duckBucket("emb", NearDupPlanes)} AS bucket
+                     FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings))
+          SELECT l.vec_id AS a, r.vec_id AS b
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+          WHERE ${duckCos("l.emb", "r.emb")} >= $NearDupThreshold"""
+  )
+}

@@ -1,0 +1,94 @@
+package graft.packs
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup queries over `documents` with DuckDB oracles mirroring the exact
+  * md5-derived integer hashing (see [[graft.dedup.Dedup]]).
+  */
+object DedupPack extends QueryPack {
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def duckH32(e: String): String = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** shingled: doc_id, sh (distinct token 3-grams); docs with ≥3 tokens. */
+  private val duckShingled = s"""shingled AS (
+    SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+    FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+    WHERE len(toks) >= 3)"""
+
+  /** sigs: doc_id, sig = [min((a_j·h+b_j) % P) for j in 0..15]. */
+  private val duckSigs = {
+    val sigExprs = (0 until Dedup.NumHashes).map { j =>
+      s"list_min(list_transform(base, x -> (x * ${Dedup.aCoef(j)} + ${Dedup.bCoef(j)}) % ${Dedup.P}))"
+    }.mkString(", ")
+    s"""sigs AS (
+      SELECT doc_id, [$sigExprs] AS sig
+      FROM (SELECT doc_id, list_transform(sh, s -> ${duckH32("s")}) AS base FROM shingled))"""
+  }
+
+  /** bands: doc_id, band_idx, band_hash (4 bands x 4 rows). */
+  private val duckBands = {
+    val selects = (0 until Dedup.NumBands).map { b =>
+      val parts = (1 to Dedup.BandRows)
+        .map(r => s"CAST(sig[${b * Dedup.BandRows + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"bands AS ($selects)"
+  }
+
+  private val duckMinhashCtes = s"WITH $duckShingled, $duckSigs, $duckBands"
+
+  /** simhash bit terms generated per bit j. */
+  private val duckSimhash = {
+    val bits = (0 until 32).map { j =>
+      s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) >= len(hs) THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS sh32
+        FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents)"""
+  }
+
+  def queries = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
+    "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidates(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashDocs(docs(s, dir)))
+  )
+
+  def oracleSql = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n,
+         min(doc_id) AS keeper FROM documents GROUP BY 1""",
+
+    "dedup_minhash_bands" ->
+      s"$duckMinhashCtes SELECT doc_id, band_idx, band_hash FROM bands",
+
+    "dedup_minhash_pairs" ->
+      s"""$duckMinhashCtes
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""$duckMinhashCtes,
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+                 AND l.doc_id < r.doc_id)
+          SELECT c.a, c.b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter,
+            CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS INT) AS uni,
+            CASE WHEN len(list_intersect(sa.sh, sb.sh)) * 10
+                      >= len(list_distinct(list_concat(sa.sh, sb.sh))) * 8
+                 THEN 1 ELSE 0 END AS is_dup
+          FROM cand c
+          JOIN shingled sa ON sa.doc_id = c.a
+          JOIN shingled sb ON sb.doc_id = c.b""",
+
+    "dedup_simhash" -> duckSimhash
+  )
+}

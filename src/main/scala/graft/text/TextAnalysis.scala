@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All pure column expressions (codegen'd, no UDFs): at 100 TB these run
+  * inside the scan's WholeStageCodegen with full column pruning — only
+  * (doc_id, text) is read.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — deterministic, engine-portable. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
+  private def stopCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** doc_id, n_tokens, n_distinct, n_chars_m. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars_m"))
+  }
+
+  /** Quality signals as exact integer numerators/denominators (ratios are
+    * for the consumer to derive — integer outputs keep the oracle
+    * bit-exact across engines).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      stopCount(toks, "en").as("n_stop"),
+      size(filter(toks, t => length(t) >= 10)).as("n_long_tokens"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
+      length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
+  }
+
+  /** Stopword-vote language ID with deterministic tie-break en>de>fr>es. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val (en, de, fr, es) =
+      (stopCount(toks, "en"), stopCount(toks, "de"), stopCount(toks, "fr"), stopCount(toks, "es"))
+    docs.select(
+      col("doc_id"), en.as("n_en"), de.as("n_de"), fr.as("n_fr"), es.as("n_es"),
+      when(en >= greatest(de, fr, es), "en")
+        .when(de >= greatest(fr, es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("lang_pred"))
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set (bag-of-words identity; robust to shuffling).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.CanonicalJson
+import graft.sources.Transcripts
+
+/** Golden-serialization spec: byte-exact against the reference fixture
+  * shapes (`data/fixtures/01.json`, `05.json`, `06.json`).
+  */
+class CanonicalJsonSpec extends SparkSpec {
+
+  test("Insert message renders exactly like fixture 01.json:1-18") {
+    val got = CanonicalJson.render(
+      role = "test_db", tool = "buildings",
+      eventTime = "2017-04-13T06:34:30Z", position = 397L, txnId = 9L,
+      eventType = "Insert",
+      rowEntries = Seq(
+        ("address", "3950 North 1st Street CA 95134"),
+        ("building_name", "ACME Headquaters"),
+        ("building_no", "1")),
+      oldEntries = Nil, newEntries = Nil, notice = "", query = null)
+    val expected =
+      """{
+        |    "Header": {
+        |        "Schema": "test_db",
+        |        "Table": "buildings",
+        |        "BinlogMessageTime": "2017-04-13T06:34:30Z",
+        |        "BinlogPosition": 397,
+        |        "XId": 9
+        |    },
+        |    "Type": "Insert",
+        |    "Data": {
+        |        "Row": {
+        |            "address": "3950 North 1st Street CA 95134",
+        |            "building_name": "ACME Headquaters",
+        |            "building_no": 1
+        |        },
+        |        "MappingNotice": ""
+        |    }
+        |}""".stripMargin
+    assert(got == expected)
+  }
+
+  test("Query message renders exactly like fixture 05.json (Table (unknown), XId 0)") {
+    val got = CanonicalJson.render(
+      role = "test_db", tool = "(unknown)",
+      eventTime = "2017-04-24T04:32:20Z", position = 220L, txnId = 0L,
+      eventType = "Query", rowEntries = Nil, oldEntries = Nil, newEntries = Nil,
+      notice = "", query = "DELETE FROM `test_db`.`filler`")
+    val expected =
+      """{
+        |    "Header": {
+        |        "Schema": "test_db",
+        |        "Table": "(unknown)",
+        |        "BinlogMessageTime": "2017-04-24T04:32:20Z",
+        |        "BinlogPosition": 220,
+        |        "XId": 0
+        |    },
+        |    "Type": "Query",
+        |    "Query": "DELETE FROM `test_db`.`filler`"
+        |}""".stripMargin
+    assert(got == expected)
+  }
+
+  test("Update message carries OldData/NewData like fixture 01.json:135-152") {
+    val got = CanonicalJson.render(
+      role = "test_db", tool = "rooms",
+      eventTime = "2017-04-13T06:34:45Z", position = 1217L, txnId = 12L,
+      eventType = "Update",
+      rowEntries = Nil,
+      oldEntries = Seq(("building_no", "2"), ("room_name", "Marketing"), ("room_no", "4")),
+      newEntries = Seq(("building_no", "2"), ("room_name", "MARKETING"), ("room_no", "4")),
+      notice = "", query = null)
+    assert(got.contains("\"Type\": \"Update\""))
+    assert(got.contains(
+      """    "OldData": {
+        |        "Row": {
+        |            "building_no": 2,
+        |            "room_name": "Marketing",
+        |            "room_no": 4
+        |        },
+        |        "MappingNotice": ""
+        |    },""".stripMargin))
+    assert(got.contains("\"room_name\": \"MARKETING\""))
+  }
+
+  test("Go-compatible escaping: HTML chars, control chars, UTF-8 passthrough") {
+    assert(CanonicalJson.escape("a<b>c&d") == "a\\u003cb\\u003ec\\u0026d")
+    assert(CanonicalJson.escape("tab\there\nnl\"q\\s") == "tab\\there\\nnl\\\"q\\\\s")
+    assert(CanonicalJson.escape("héllo 世界 🚀") == "héllo 世界 🚀")
+    assert(CanonicalJson.escape(1.toChar.toString) == "\\u0001")
+  }
+
+  test("integer-looking values render unquoted; others quoted (01.json:14 vs :12)") {
+    assert(CanonicalJson.renderValue("1") == "1")
+    assert(CanonicalJson.renderValue("-42") == "-42")
+    assert(CanonicalJson.renderValue("v17") == "\"v17\"")
+    assert(CanonicalJson.renderValue("") == "\"\"")
+    assert(CanonicalJson.renderValue("2017-04-24") == "\"2017-04-24\"")
+  }
+
+  test("fromRouted produces one parseable document per routed message") {
+    val turns = mkTurns(Seq(
+      ("c1", 1, "user", "EVENT insert rows=1 vals=[1|ACME|x]", "search"),
+      ("c1", 2, "user", "EVENT query stmt=DROP TABLE x", "search"),
+      ("c1", 3, "user", "EVENT commit xid=9", "search")))
+    val routed = Pipeline.routed(turns, Transcripts.lookup(spark))
+    val docs = CanonicalJson.fromRouted(routed).collect()
+    assert(docs.length == 2)
+    assert(docs.exists(_.contains("\"Type\": \"Insert\"")))
+    assert(docs.exists(_.contains("\"Type\": \"Query\"")))
+    assert(docs.forall(d => d.startsWith("{\n") && d.endsWith("\n}")))
+  }
+}

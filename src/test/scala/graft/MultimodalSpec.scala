@@ -1,0 +1,47 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+
+  test("media table: binary payload + typed metadata, 3 kinds") {
+    val rows = media.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+    assert(rows.forall(_.payload.nonEmpty))
+  }
+
+  test("batched feature extraction: histogram conserves byte count") {
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 500)
+    assert(f.forall(x => x.hist0 + x.hist1 + x.hist2 + x.hist3 == x.n_bytes))
+    assert(f.forall(x => x.mean_byte >= 0 && x.mean_byte <= 255))
+  }
+
+  test("resize bounds payload to w*h and rewrites metadata") {
+    val r = Multimodal.resize(media, 8, 4).collect()
+    assert(r.forall(m => m.payload.length <= 32 && m.width == 8 && m.height == 4))
+  }
+
+  test("frame sampling explodes video payloads only, every 2nd frame") {
+    val frames = Multimodal.sampleFrames(media, every = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val vids = media.filter(_.kind == "video").collect().map(m => m.media_id -> m.n_frames).toMap
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.keySet.subsetOf(vids.keySet))
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.length == (vids(id) + 1) / 2)
+    }
+  }
+
+  test("deterministic embedding has fixed dim and reproducible values") {
+    val e1 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e2 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e1.keySet.size == 500)
+    assert(e1.forall(_._2.length == 16))
+    assert(e1 == e2)
+  }
+}

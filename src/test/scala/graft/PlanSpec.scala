@@ -1,0 +1,54 @@
+package graft
+
+import graft.relational.Relational
+import graft.sources.Transcripts
+
+/** Physical-plan shape assertions — the scale contract (SURVEY.md §4.2):
+  * the pipeline must cost exactly one hash exchange; the lookup join must
+  * broadcast; scans must prune columns and push filters.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("routed pipeline: exactly one hash exchange + one broadcast exchange") {
+    val routed = Pipeline.routed(
+      Transcripts.synthetic(spark, 10000, 100),
+      Transcripts.lookup(spark))
+    val p = plan(routed)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    assert(broadcasts == 1, s"expected broadcast lookup join, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "lookup join must be BHJ")
+  }
+
+  test("q1 scan prunes to the referenced columns and stays in codegen") {
+    val df = Relational.q1(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val p = plan(df)
+    assert(p.contains("*("), "WholeStageCodegen marker *(n) missing")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"pushdown missing:\n$p")
+  }
+
+  test("salted stamping plan avoids a full-width second exchange of the big frame") {
+    val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
+    val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
+    // big frame shuffles on (conv_id, salt_block); summary/backfill frames
+    // are tiny. Assert the big window partitions by both keys.
+    assert(p.contains("salt_block"))
+  }
+}
