@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  /** Shuffle partitioning stays CONSTANT across the two cluster sizes —
+    * on a real cluster the data's partition count does not change when
+    * executors are added, only the threads draining them do. Tying
+    * partitions to cores would conflate partition-size effects (spill at
+    * N, in-memory at 4N) with scaling.
+    */
+  private def session(cpus: Int, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -54,14 +60,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
     val nSmall = math.max(1, cpus / 4)
+    val shufflePartitions = cpus * 4 // constant across both cluster sizes
 
     // --- scaling evidence: local[N] then local[4N] on identical input ---
-    val sN = session(nSmall)
+    val sN = session(nSmall, shufflePartitions)
     pipelineRun(sN, benchTurns / 20) // warmup: JIT + codegen
     val secN = pipelineRun(sN, benchTurns)
     sN.stop()
 
-    val s4N = session(cpus)
+    val s4N = session(cpus, shufflePartitions)
     pipelineRun(s4N, benchTurns / 20)
     val sec4N = pipelineRun(s4N, benchTurns)
     val tputN = benchTurns / secN

@@ -93,6 +93,46 @@ object Similarity {
       .select(col("q"), col("rank"), col("neighbor"))
   }
 
+  /** IVF-flat: a training-free coarse quantizer — the first `nCentroids`
+    * vectors act as centers (deterministic, no k-means pass); every vector
+    * is assigned to its best center by cosine. Queries probe their
+    * `nProbe` best centers and exact-rerank only those inverted lists.
+    * At scale the corpus shuffles once by centroid id and each query
+    * touches nProbe/nCentroids of the data.
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = broadcast(emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent_emb")))
+    val scored = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .join(cents)
+      .select(col("vec_id"), col("emb"), col("cent_id"),
+        cosine(col("emb"), col("cent_emb")).as("cscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
+    scored.withColumn("crank", row_number().over(w))
+  }
+
+  /** Approximate top-k via IVF: probe the query's nProbe best centroids,
+    * exact-rerank the union of their lists. Output: (q, rank, neighbor).
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids)
+    val lists = assigned.filter(col("crank") === 1)
+      .select(col("cent_id"), col("vec_id").as("neighbor"), col("emb").as("c_emb"))
+    val probes = broadcast(assigned
+      .filter(col("vec_id").isin(queryIds: _*) && col("crank") <= nProbe)
+      .select(col("vec_id").as("q"), col("emb").as("q_emb"), col("cent_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("sim").desc, col("neighbor").asc)
+    lists.join(probes, Seq("cent_id"))
+      .filter(col("q") =!= col("neighbor"))
+      .select(col("q"), col("neighbor"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("neighbor"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed so
     * only same-bucket pairs are compared (the corpus never self-cross-joins).
     */

@@ -94,6 +94,60 @@ object CanonicalJson {
     s"{\n$header,\n$payload\n}"
   }
 
+  // ------------------------------------------------------------------
+  // Expression-level serializer — the PRODUCTION path: built entirely from
+  // concat/when/transform + the custom codegen'd GoJsonEscape expression,
+  // so serialization stays inside whole-stage codegen (no Dataset.map
+  // deserialization). Verified equal to `render` by CanonicalJsonSpec.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  private val IntLikeRe = "^-?\\d{1,18}$"
+
+  private def escCol(c: Column): Column = GoJsonEscape(c)
+
+  private def valueCol(v: Column): Column =
+    when(v.rlike(IntLikeRe), v)
+      .otherwise(concat(lit("\""), escCol(v), lit("\"")))
+
+  private def rowDataCol(entries: Column, notice: Column, indent: String): Column = {
+    val inner = indent + "    "
+    val body = when(size(entries) === 0, lit("{}"))
+      .otherwise(concat(
+        lit("{\n"),
+        array_join(transform(entries, e =>
+          concat(lit(inner + "    \""), escCol(e.getField("k")), lit("\": "),
+            valueCol(e.getField("v")))), ",\n"),
+        lit(s"\n$inner}")))
+    concat(
+      lit("{\n" + inner + "\"Row\": "), body,
+      lit(",\n" + inner + "\"MappingNotice\": \""), escCol(notice),
+      lit("\"\n" + indent + "}"))
+  }
+
+  /** Canonical JSON document as a single codegen'd column over the routed
+    * frame (requires [[GoJsonEscape.register]] on the session).
+    */
+  def jsonColumn: Column = {
+    val header = concat(
+      lit("    \"Header\": {\n        \"Schema\": \""), escCol(col("role")),
+      lit("\",\n        \"Table\": \""), escCol(col("tool")),
+      lit("\",\n        \"BinlogMessageTime\": \""), escCol(col("event_time")),
+      lit("\",\n        \"BinlogPosition\": "), col("position").cast("string"),
+      lit(",\n        \"XId\": "), col("txn_id").cast("string"),
+      lit("\n    },\n    \"Type\": \""), col("event_type"), lit("\""))
+    val notice = coalesce(col("mapping_notice"), lit(""))
+    val payload = when(col("event_type") === "Query",
+        concat(lit("    \"Query\": \""), escCol(col("query")), lit("\"")))
+      .when(col("event_type") === "Update",
+        concat(lit("    \"OldData\": "), rowDataCol(col("old_entries"), notice, "    "),
+          lit(",\n    \"NewData\": "), rowDataCol(col("new_entries"), notice, "    ")))
+      .otherwise(concat(lit("    \"Data\": "), rowDataCol(col("row_entries"), notice, "    ")))
+    concat(lit("{\n"), header, lit(",\n"), payload, lit("\n}"))
+  }
+
   /** Routed frame → Dataset[String] of canonical JSON documents, in
     * (conv_id, turn_idx) order within partitions.
     */

@@ -66,6 +66,7 @@ object Route {
     col("matched") && col("txn_id").isNotNull
 
   def messages(enriched: DataFrame): DataFrame = {
+    graft.functions.MapRows.register(enriched.sparkSession)
     val names = col("field_names")
     val vals = col("vals")
 
@@ -74,29 +75,33 @@ object Route {
     val updateOk = (col("kind") === "update") && committedRow &&
       (size(vals) >= 2) && (size(vals) % 2 === 0)
 
+    // All per-physical-row mapping (zip, mismatch, sort, repr) fused into
+    // one compiled pass — see graft.functions.MapRows for why.
+    val mapped = graft.functions.MapRows(names, vals)
+
     val queryMsg = array(msgStruct(
       lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), col("stmt"),
       nullEntries, nullEntries, nullEntries))
 
-    val insertDeleteMsgs = transform(vals, v => msgStruct(
+    val insertDeleteMsgs = transform(mapped, m => msgStruct(
       when(col("kind") === "insert", Model.EventType.Insert)
         .otherwise(Model.EventType.Delete),
-      Enrich.rowRepr(names, v), nullStr, nullStr,
-      Enrich.mappingNotice(names, v), nullStr,
-      rowEntries(names, v), nullEntries, nullEntries))
+      m.getField("repr"), nullStr, nullStr,
+      m.getField("notice"), nullStr,
+      m.getField("entries"), nullEntries, nullEntries))
 
     // old/new adjacent pairs: element_at is 1-based → old = 2i+1, new = 2i+2
     val updateMsgs = transform(
       sequence(lit(0), (size(vals) / 2).cast("int") - 1),
       i => msgStruct(
         lit(Model.EventType.Update), nullStr,
-        Enrich.rowRepr(names, element_at(vals, i * 2 + 1)),
-        Enrich.rowRepr(names, element_at(vals, i * 2 + 2)),
-        Enrich.mappingNotice(names, element_at(vals, i * 2 + 1)),
+        element_at(mapped, i * 2 + 1).getField("repr"),
+        element_at(mapped, i * 2 + 2).getField("repr"),
+        element_at(mapped, i * 2 + 1).getField("notice"),
         nullStr,
         nullEntries,
-        rowEntries(names, element_at(vals, i * 2 + 1)),
-        rowEntries(names, element_at(vals, i * 2 + 2))))
+        element_at(mapped, i * 2 + 1).getField("entries"),
+        element_at(mapped, i * 2 + 2).getField("entries")))
 
     val msgs = when(queryKept, queryMsg)
       .when(insertDelete, insertDeleteMsgs)

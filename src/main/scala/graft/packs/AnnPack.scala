@@ -38,6 +38,9 @@ object AnnPack extends QueryPack {
       Similarity.bruteForceTopK(emb(s, dir), QueryIds, TopK)
         .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
     "ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(emb(s, dir), 8)),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
     "ann_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDup(emb(s, dir), NearDupThreshold, NearDupPlanes))
   )
@@ -57,6 +60,24 @@ object AnnPack extends QueryPack {
     "ann_lsh_buckets" ->
       s"""SELECT vec_id, ${duckBucket("emb", 8)} AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)""",
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
+          ranked AS (
+            SELECT vec_id, emb, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
+            FROM e, cents),
+          lists AS (SELECT cent_id, vec_id AS neighbor, emb AS c_emb FROM ranked WHERE crank = 1),
+          probes AS (SELECT vec_id AS q, emb AS q_emb, cent_id FROM ranked
+                     WHERE vec_id IN (${QueryIds.mkString(", ")}) AND crank <= 4)
+          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM (
+            SELECT q, neighbor,
+              row_number() OVER (PARTITION BY q
+                ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
+            FROM lists JOIN probes USING (cent_id) WHERE q <> neighbor)
+          WHERE rank <= $TopK""",
 
     "ann_cosine_neardup" ->
       s"""WITH b AS (SELECT vec_id, emb, ${duckBucket("emb", NearDupPlanes)} AS bucket

@@ -13,6 +13,7 @@ object RelationalPack extends QueryPack {
 
   def queries = Map(
     "q1_agg" -> ((s, dir) => Relational.q1(tbl("lineitem")(s, dir))),
+    "q1_rollup" -> ((s, dir) => Relational.q1Rollup(tbl("lineitem")(s, dir))),
     "q3_join_topk" -> ((s, dir) =>
       Relational.q3(tbl("customer")(s, dir), tbl("orders")(s, dir), tbl("lineitem")(s, dir))),
     "w1_top_order" -> ((s, dir) => Relational.topOrderPerCustomer(tbl("orders")(s, dir))),
@@ -30,6 +31,12 @@ object RelationalPack extends QueryPack {
           CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_cents,
           CAST(sum(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_cents
           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
     "q3_join_topk" ->
       s"""SELECT o_orderkey,

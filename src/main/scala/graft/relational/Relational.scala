@@ -49,6 +49,14 @@ object Relational {
     supplier.select(col("s_nationkey").as("nationkey")).distinct()
       .except(customer.select(col("c_nationkey").as("nationkey")).distinct())
 
+  /** Rollup aggregate (grouping-sets family): per (flag, status), per flag,
+    * and grand total in one pass.
+    */
+  def q1Rollup(li: DataFrame): DataFrame =
+    li.rollup("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("long")).as("sum_qty"))
+
   /** Set op: nations with both suppliers and customers. */
   def sharedNations(supplier: DataFrame, customer: DataFrame): DataFrame =
     supplier.select(col("s_nationkey").as("nationkey")).distinct()

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.operators.{Enrich, Parse, Route}
+import graft.{PipelineConfig}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mode of the pipeline.
+  *
+  * parse → enrich → route are pure column transforms and run unchanged on a
+  * streaming DataFrame. Only transaction stamping changes: the batch window
+  * (commit-xid propagated backward) becomes the reference's ORIGINAL
+  * sequential semantics — a per-conversation buffer drained on commit
+  * (`parser/parser/rows_event_buffer.go:7-24`, `binlog_to_messages.go:41-54`)
+  * — implemented as `flatMapGroupsWithState` keyed by conv_id: row events
+  * buffer in state; each commit drains and stamps them; queries pass
+  * through with txn_id 0; a processing-time timeout discards abandoned
+  * buffers exactly like the reference discards an un-committed buffer at
+  * EOF.
+  *
+  * Assumes per-conversation in-order arrival (turns sorted by turn_idx
+  * within each micro-batch; cross-batch order preserved by the source) —
+  * the same assumption the reference makes about binlog file order.
+  */
+object StreamingPipeline {
+
+  case class ParsedTurn(
+      conv_id: String, turn_idx: Int, role: String, text: String,
+      tool: String, ts: java.sql.Timestamp,
+      kind: String, stmt: String, suppressed: Boolean,
+      xid: Option[Long], vals: Option[Seq[Seq[String]]])
+
+  case class StampedTurn(
+      conv_id: String, turn_idx: Int, role: String, text: String,
+      tool: String, ts: java.sql.Timestamp,
+      kind: String, stmt: String, suppressed: Boolean,
+      xid: Option[Long], vals: Option[Seq[Seq[String]]],
+      txn_id: Option[Long])
+
+  case class ConvState(buffered: List[ParsedTurn])
+
+  /** The RowsEventBuffer as a state function: buffer row events, drain on
+    * commit with the commit's xid, pass queries through immediately.
+    * `timeoutMs > 0` arms a processing-time timeout that discards abandoned
+    * buffers (reference EOF behavior). NOTE: timeouts make Spark fire
+    * continuous empty micro-batches, so `processAllAvailable`-style tests
+    * never quiesce — production queries opt in, tests use 0.
+    */
+  def stampGroup(timeoutMs: Long)(convId: String, turns: Iterator[ParsedTurn],
+      state: GroupState[ConvState]): Iterator[StampedTurn] = {
+    if (state.hasTimedOut) {
+      // abandoned conversation: reference behavior = buffer never drained
+      state.remove()
+      return Iterator.empty
+    }
+    var buf = state.getOption.map(_.buffered).getOrElse(Nil)
+    val out = Seq.newBuilder[StampedTurn]
+    turns.toSeq.sortBy(_.turn_idx).foreach { t =>
+      t.kind match {
+        case "insert" | "update" | "delete" =>
+          buf = t :: buf
+        case "commit" =>
+          // drain: every buffered row event gets THIS commit's xid
+          buf.reverse.foreach { b =>
+            out += StampedTurn(b.conv_id, b.turn_idx, b.role, b.text, b.tool,
+              b.ts, b.kind, b.stmt, b.suppressed, b.xid, b.vals, t.xid)
+          }
+          buf = Nil
+          out += StampedTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+            t.ts, t.kind, t.stmt, t.suppressed, t.xid, t.vals, t.xid)
+        case _ =>
+          // query / noise: stateless pass-through (txn_id 0 for queries,
+          // conversion.go:25-40)
+          out += StampedTurn(t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+            t.ts, t.kind, t.stmt, t.suppressed, t.xid, t.vals, Some(0L))
+      }
+    }
+    if (buf.isEmpty) state.remove()
+    else {
+      state.update(ConvState(buf))
+      if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+    }
+    out.result().iterator
+  }
+
+  /** Streaming turns frame → stamped frame (parse + stateful txn stamp). */
+  def stamped(turns: DataFrame, timeoutMs: Long = 0L): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val timeoutKind =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    Parse.parse(turns)
+      .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "kind", "stmt", "suppressed", "xid", "vals")
+      .as[ParsedTurn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutKind)(stampGroup(timeoutMs))
+      .toDF()
+  }
+
+  /** Full streaming routed stream: stamp → broadcast enrich → route. */
+  def routedStream(turns: DataFrame, lookup: DataFrame,
+      cfg: PipelineConfig = PipelineConfig(), bufferTimeoutMs: Long = 0L): DataFrame = {
+    val st = stamped(turns, bufferTimeoutMs)
+    Route.includeFilters(Route.messages(Enrich.withLookup(st, lookup)),
+      cfg.includeRoles, cfg.includeTools)
+  }
+
+  /** Watermarked per-sink windowed counts — the streaming aggregate stage. */
+  def windowedSinkCounts(routedStream: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    routedStream
+      .withColumn("event_ts", to_timestamp(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), window_), col("role"), col("tool"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -98,6 +98,23 @@ class CanonicalJsonSpec extends SparkSpec {
     assert(CanonicalJson.renderValue("2017-04-24") == "\"2017-04-24\"")
   }
 
+  test("expression-level serializer (codegen'd GoJsonEscape) equals the Scala renderer") {
+    graft.functions.GoJsonEscape.register(spark)
+    val turns = mkTurns(Seq(
+      ("c1", 1, "user", "EVENT insert rows=2 vals=[1|ACME <&> \"q\"|x];[2|héllo 世界|y]", "search"),
+      ("c1", 2, "user", "EVENT update rows=2 vals=[1|a|old];[1|a|new]", "search"),
+      ("c1", 3, "user", "EVENT query stmt=DROP TABLE `x`", "search"),
+      ("c1", 4, "assistant", "EVENT insert rows=1 vals=[1|too]", "web"), // arity mismatch + notice
+      ("c1", 5, "user", "EVENT commit xid=77", "search")))
+    val routed = Pipeline.routed(turns, Transcripts.lookup(spark))
+      .orderBy("turn_idx", "position")
+    val viaMap = CanonicalJson.fromRouted(routed).collect()
+    val viaExpr = routed.select(CanonicalJson.jsonColumn.as("j"))
+      .collect().map(_.getString(0))
+    assert(viaMap.length == viaExpr.length && viaMap.length == 5)
+    viaMap.zip(viaExpr).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("fromRouted produces one parseable document per routed message") {
     val turns = mkTurns(Seq(
       ("c1", 1, "user", "EVENT insert rows=1 vals=[1|ACME|x]", "search"),

@@ -1,0 +1,78 @@
+package graft
+
+import graft.model.Turn
+import graft.sources.Transcripts
+import graft.streaming.StreamingPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming parity: the stateful RowsEventBuffer semantics
+  * (flatMapGroupsWithState) must route the same messages as the batch
+  * window path, including buffers that drain across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def turn(c: String, i: Int, text: String, tool: String = "search") =
+    Turn(c, i, "user", text, tool, t0)
+
+  test("cross-batch commit drains earlier-batch buffer (fixture-07 semantics)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Turn]
+    val routed = StreamingPipeline.routedStream(input.toDF(), Transcripts.lookup(spark))
+    val q = routed.writeStream.format("memory").queryName("routed_stream")
+      .outputMode(OutputMode.Append).start()
+
+    try {
+      // batch 1: two inserts (buffered) + one query (immediate)
+      input.addData(
+        turn("c1", 1, "EVENT insert rows=1 vals=[1|a|b]"),
+        turn("c1", 2, "EVENT insert rows=1 vals=[2|c|d]"),
+        turn("c2", 1, "EVENT query stmt=DROP TABLE x"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("routed_stream").collect()
+      assert(afterB1.count(_.getAs[String]("event_type") == "Query") == 1)
+      assert(afterB1.count(_.getAs[String]("event_type") == "Insert") == 0,
+        "row events must stay buffered until their commit")
+
+      // batch 2: the commit arrives -> both inserts drain with xid 456
+      input.addData(turn("c1", 3, "EVENT commit xid=456"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("routed_stream").collect()
+      val inserts = afterB2.filter(_.getAs[String]("event_type") == "Insert")
+      assert(inserts.length == 2)
+      assert(inserts.forall(_.getAs[Long]("txn_id") == 456L))
+      assert(inserts.map(_.getAs[Long]("position")).sorted.toSeq == Seq(1L, 2L))
+
+      // parity with the batch pipeline on the full input
+      val allTurns = mkTurns(Seq(
+        ("c1", 1, "user", "EVENT insert rows=1 vals=[1|a|b]", "search"),
+        ("c1", 2, "user", "EVENT insert rows=1 vals=[2|c|d]", "search"),
+        ("c2", 1, "user", "EVENT query stmt=DROP TABLE x", "search"),
+        ("c1", 3, "user", "EVENT commit xid=456", "search")))
+      val batch = Pipeline.routed(allTurns, Transcripts.lookup(spark)).collect()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+          r.getAs[String]("event_type"), r.getAs[Long]("txn_id"),
+          r.getAs[String]("row_repr"), r.getAs[String]("text"))
+      assert(afterB2.map(key).toSet == batch.map(key).toSet)
+    } finally q.stop()
+  }
+
+  test("uncommitted buffer is never emitted (EOF discard semantics)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val routed = StreamingPipeline.routedStream(input.toDF(), Transcripts.lookup(spark))
+    val q = routed.writeStream.format("memory").queryName("routed_nodrain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(turn("c9", 1, "EVENT insert rows=1 vals=[1|a|b]"))
+      q.processAllAvailable()
+      assert(spark.table("routed_nodrain").isEmpty)
+    } finally q.stop()
+  }
+}
