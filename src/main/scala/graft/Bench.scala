@@ -35,24 +35,40 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** Full-pipeline job over n synthetic turns; returns elapsed seconds. */
-  private def pipelineRun(spark: SparkSession, nTurns: Long): Double = {
-    val turns = Transcripts.synthetic(spark, nTurns, nConvs = 50000, skewPct = 2)
-    val routed = Pipeline.routed(turns, Transcripts.lookup(spark),
-      PipelineConfig(saltBlockSize = Some(65536)))
-    val t0 = System.nanoTime()
-    routed.agg(
-      count(lit(1)),
-      sum(length(col("row_repr"))), sum(length(col("old_repr"))),
-      sum(length(col("new_repr"))), sum(length(col("text"))),
-      sum(col("txn_id"))).collect()
-    (System.nanoTime() - t0) / 1e9
+  /** Run one scaling point in a FRESH child JVM (see [[BenchChild]] for why
+    * same-JVM back-to-back sessions are invalid) and return its seconds.
+    */
+  private def childRun(cpus: Int, nTurns: Long, parts: Int): Double = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val xmx = s"-Xmx${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m"
+    val cmd = Seq(javaBin, xmx) ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchChild", cpus.toString, nTurns.toString, parts.toString)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    proc.waitFor()
+    out.collectFirst { case l if l.startsWith("GRAFT_CHILD_SEC=") =>
+      l.stripPrefix("GRAFT_CHILD_SEC=").toDouble
+    }.getOrElse(sys.error(s"bench child failed:\n${out.takeRight(30).mkString("\n")}"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,15 +78,18 @@ object Bench {
     val nSmall = math.max(1, cpus / 4)
     val shufflePartitions = cpus * 4 // constant across both cluster sizes
 
-    // --- scaling evidence: local[N] then local[4N] on identical input ---
-    val sN = session(nSmall, shufflePartitions)
-    pipelineRun(sN, benchTurns / 20) // warmup: JIT + codegen
-    val secN = pipelineRun(sN, benchTurns)
-    sN.stop()
-
+    // --- scaling evidence: local[N] and local[4N], fresh JVM each.
+    // The sandbox host is shared (loadavg 7-14 from other tenants); take
+    // the MIN of `reps` interleaved runs per level — the least-interfered
+    // sample — as the capability estimate.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val samples = (1 to reps).map { _ =>
+      (childRun(nSmall, benchTurns, shufflePartitions),
+        childRun(cpus, benchTurns, shufflePartitions))
+    }
+    val secN = samples.map(_._1).min
+    val sec4N = samples.map(_._2).min
     val s4N = session(cpus, shufflePartitions)
-    pipelineRun(s4N, benchTurns / 20)
-    val sec4N = pipelineRun(s4N, benchTurns)
     val tputN = benchTurns / secN
     val tput4N = benchTurns / sec4N
     val efficiency = (tput4N / tputN) / (cpus.toDouble / nSmall)

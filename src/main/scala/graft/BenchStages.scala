@@ -17,6 +17,7 @@ object BenchStages {
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,29 +35,40 @@ object BenchStages {
     }
 
     def time(name: String, mk: => DataFrame): (String, Double) = {
+      // drop references to prior jobs' shuffles so the ContextCleaner can
+      // delete their files before we measure (tmpfs pressure otherwise
+      // contaminates later stages)
+      System.gc()
+      Thread.sleep(2000)
       consumeAll(mk) // warmup (codegen)
+      System.gc()
+      Thread.sleep(1000)
       val t0 = System.nanoTime()
       consumeAll(mk)
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val stages = Seq(
-      time("gen", turns),
-      time("parse", Parse.parse(turns).drop("vals")),
-      time("parse_vals", Parse.parse(turns)
+    val only = sys.env.get("SPARK_GRAFT_STAGE")
+    def want(n: String) = only.forall(_ == n)
+
+    val defs = Seq[(String, () => DataFrame)](
+      ("gen", () => turns),
+      ("parse", () => Parse.parse(turns).drop("vals")),
+      ("parse_vals", () => Parse.parse(turns)
         .select(col("conv_id"), size(col("vals")).as("nv"),
           element_at(element_at(col("vals"), 1), 1).as("v00"))),
-      time("stamp", TxnStamp.stamp(Parse.parse(turns))
+      ("stamp", () => TxnStamp.stamp(Parse.parse(turns))
         .select(col("conv_id"), col("txn_id"))),
-      time("stamp_salted", TxnStamp.stampSalted(Parse.parse(turns), 65536)
+      ("stamp_salted", () => TxnStamp.stampSalted(Parse.parse(turns), 65536)
         .select(col("conv_id"), col("txn_id"))),
-      time("enrich", Pipeline.enriched(turns, lookup,
+      ("enrich", () => Pipeline.enriched(turns, lookup,
         PipelineConfig(saltBlockSize = Some(65536)))
         .select(col("conv_id"), col("matched").cast("long").as("m"), col("txn_id"))),
-      time("routed_full", Pipeline.routed(turns, lookup,
+      ("routed_full", () => Pipeline.routed(turns, lookup,
         PipelineConfig(saltBlockSize = Some(65536)))
         .select(col("conv_id"), col("row_repr"), col("text"), col("txn_id")))
     )
+    val stages = defs.collect { case (n, mk) if want(n) => time(n, mk()) }
     val js = stages.map { case (k, v) => s""""$k":${math.rint(v * 100) / 100}""" }
       .mkString("{", ",", "}")
     println(s"""{"bench":"stages","turns":$n,"cpus":$cpus,"sec":$js}""")

@@ -104,16 +104,21 @@ object Transcripts {
   def synthetic(spark: SparkSession, nTurns: Long, nConvs: Int,
       skewPct: Int = 0): DataFrame = {
     val id = col("id")
-    val convNum =
-      if (skewPct > 0)
-        when(pmod(id, lit(100)) < skewPct, lit(0)).otherwise(pmod(id, lit(nConvs)).cast("int"))
-      else pmod(id, lit(nConvs)).cast("int")
+    val isHot = if (skewPct > 0) pmod(id, lit(100)) < skewPct else lit(false)
+    val convNum = pmod(id, lit(nConvs)).cast("int")
     val etype = element_at(
       array(lit("signup"), lit("click"), lit("error"), lit("view"), lit("purchase")),
       (pmod(id, lit(5)) + 1).cast("int"))
+    // turn_idx is DENSE per conversation (real transcripts number turns
+    // 0,1,2,… within a conversation — the input_hint semantics, and what
+    // block-salting keys on): normal convs use id div nConvs; the one hot
+    // conversation uses the raw id (2% of ids → still dense enough that a
+    // salt block holds ~blockSize/50 turns).
     spark.range(nTurns).toDF("id")
-      .withColumn("conv_id", concat(lit("c"), convNum.cast("string")))
-      .withColumn("turn_idx", id.cast("int"))
+      .withColumn("conv_id",
+        when(isHot, lit("chot")).otherwise(concat(lit("c"), convNum.cast("string"))))
+      .withColumn("turn_idx",
+        when(isHot, id).otherwise(expr("id DIV " + nConvs)).cast("int"))
       .withColumn("role",
         element_at(array(lit("user"), lit("assistant"), lit("system"), lit("tool")),
           (pmod(expr("id DIV 10"), lit(4)) + 1).cast("int")))
