@@ -3,6 +3,7 @@ package graft
 import graft.operators._
 import graft.sources.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Pipeline composition — the `parse → enrich → route → aggregate` DAG.
   * Each stage is a pure DataFrame→DataFrame function (independently
@@ -35,10 +36,34 @@ object Pipeline {
     Enrich.withLookup(stamped, lookup)
   }
 
+  /** Role include-filter, pushed AHEAD of parse (VERDICT r01 #6): every
+    * message inherits its turn's role verbatim, so non-matching turns can
+    * be dropped at the SCAN (Parquet row-group skipping via pushed
+    * In/StartsWith filters) instead of riding the whole
+    * parse→shuffle→window→explode pipeline to be discarded at the end —
+    * at 100 TB an unpushed role filter wastes the entire run on dropped
+    * rows. Commit turns must survive regardless of role: they drive txn
+    * stamping for OTHER roles' row events (the reference stamps XId in the
+    * parser, before any predicate — `binlog_to_messages.go:41-54` vs
+    * `consumer_chain.go:83-91`). Commits and blank roles emit no /
+    * unconditionally-passing messages, so the residual message-level
+    * filter in [[Route.includeFilters]] stays semantically identical.
+    *
+    * The tool filter can NOT pre-filter: query messages rewrite tool to
+    * "(unknown)" (`Route.messages`), so a message's tool is not the turn's.
+    */
+  private def pushRoleFilter(turns: DataFrame, includeRoles: Seq[String]): DataFrame =
+    if (includeRoles.isEmpty) turns
+    else turns.filter(
+      col("role") === "" || col("role").isin(includeRoles: _*) ||
+        col("text").startsWith("EVENT commit "))
+
   /** Full routed message stream. */
   def routed(turns: DataFrame, lookup: DataFrame,
       cfg: PipelineConfig = PipelineConfig()): DataFrame =
-    Route.includeFilters(Route.messages(enriched(turns, lookup, cfg)),
+    Route.includeFilters(
+      Route.messages(enriched(
+        pushRoleFilter(turns, cfg.includeRoles), lookup, cfg)),
       cfg.includeRoles, cfg.includeTools)
 
   /** Convenience: routed stream over the sfDir-derived transcript table. */

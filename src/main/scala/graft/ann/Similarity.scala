@@ -93,16 +93,67 @@ object Similarity {
       .select(col("q"), col("rank"), col("neighbor"))
   }
 
-  /** IVF-flat: a training-free coarse quantizer — the first `nCentroids`
-    * vectors act as centers (deterministic, no k-means pass); every vector
-    * is assigned to its best center by cosine. Queries probe their
+  /** Deterministic distributed k-means training for the IVF coarse
+    * quantizer (VERDICT r01 #8 — the r01 "first 16 vectors as centers"
+    * placeholder gives wildly skewed inverted lists at 100 TB).
+    *
+    * Protocol (reproducible on any cluster AND in the DuckDB oracle):
+    *  - seeds: the `k` vectors with the smallest `md5(vec_id)` — a
+    *    deterministic pseudo-random spread, row-order independent.
+    *  - `iters` Lloyd steps. Each step assigns every vector to its best
+    *    centroid by cosine and rebuilds centroids as per-dimension
+    *    INTEGER sums of fixed-point components (`round(x·10⁶)`):
+    *    cosine is scale-invariant, so the un-normalized integer sum IS the
+    *    mean direction — no float accumulation, no row-order sensitivity,
+    *    bit-identical across engines and shuffle schedules.
+    *  - a seed is always in its own cluster at step 1, and ties break by
+    *    lowest cent_id, so clusters cannot go empty under this init.
+    *
+    * At scale: train on a hash-deterministic sample (`sampleN`), assign the
+    * full corpus once — the standard IVF recipe.
+    * Output: (cent_id, cent_emb array<double>).
+    */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 1,
+      sampleN: Int = 4096): DataFrame = {
+    // orderBy+limit plans as TakeOrderedAndProject — a distributed top-N,
+    // NOT a global single-partition sort; the window ranks only the ≤sampleN
+    // surviving rows.
+    val sample = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleN)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))))
+    var cents = sample.filter(col("rk") <= k)
+      .select((col("rk") - 1).cast("long").as("cent_id"), col("emb").as("cent_emb"))
+    (1 to iters).foreach { _ =>
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
+      val assigned = sample.join(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("cent_id"),
+          cosine(col("emb"), col("cent_emb")).as("cscore"))
+        .withColumn("crank", row_number().over(wBest))
+        .filter(col("crank") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("emb")).as(Seq("p", "x")))
+        .groupBy("cent_id", "p")
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("s"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("s")))),
+          e => e.getField("s").cast("double")).as("cent_emb"))
+    }
+    cents
+  }
+
+  /** IVF-flat coarse quantizer: every vector is assigned to its best
+    * trained center by cosine (ties → lowest cent_id). Queries probe their
     * `nProbe` best centers and exact-rerank only those inverted lists.
     * At scale the corpus shuffles once by centroid id and each query
     * touches nProbe/nCentroids of the data.
     */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = broadcast(emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent_emb")))
+  def ivfAssign(emb: DataFrame, nCentroids: Int, iters: Int = 1): DataFrame = {
+    val cents = broadcast(trainCentroids(emb, nCentroids, iters))
     val scored = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .join(cents)
       .select(col("vec_id"), col("emb"), col("cent_id"),

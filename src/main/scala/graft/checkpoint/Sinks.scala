@@ -47,16 +47,33 @@ object Sinks {
     * manifest per newly completed bucket. Returns the number of buckets
     * written. A crash before manifests leaves re-runnable buckets; a crash
     * after some manifests resumes with exactly the rest.
+    *
+    * Per-bucket lineage stats ride the WRITE pass itself via
+    * `Dataset.observe` (buckets are enumerable, so per-bucket grouping
+    * becomes conditional aggregates) — zero extra jobs, zero re-read of
+    * committed parquet; at 100 TB a read-back would double the run's I/O
+    * (VERDICT r01 #5). `validate = true` opts back into the full read-back
+    * cross-check of committed files.
     */
   def writeResumable(routed: DataFrame, outDir: String, nBuckets: Int,
-      source: String): Int = {
+      source: String, validate: Boolean = false): Int = {
     val spark = routed.sparkSession
     val done = completedBuckets(outDir)
     val pending = (0 until nBuckets).filterNot(done)
     if (pending.isEmpty) return 0
 
+    val obs = org.apache.spark.sql.Observation()
+    val statExprs = pending.flatMap { b =>
+      val in = col(BucketCol) === b
+      Seq(
+        count(when(in, 1)).as(s"n_$b"),
+        approx_count_distinct(when(in, col("conv_id"))).as(s"c_$b"),
+        min(when(in, col("position"))).as(s"mn_$b"),
+        max(when(in, col("position"))).as(s"mx_$b"))
+    }
     val bucketed = withBucket(routed, nBuckets)
       .filter(col(BucketCol).isin(pending: _*))
+      .observe(obs, statExprs.head, statExprs.tail: _*)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed.write
@@ -64,32 +81,54 @@ object Sinks {
       .partitionBy(BucketCol, "role", "tool", "event_type")
       .parquet(s"$outDir/routed")
 
-    // Lineage + metrics per bucket, computed from the committed files
-    // (read-back doubles as a write validation).
-    val stats = routed.sparkSession.read.parquet(s"$outDir/routed")
-      .filter(col(BucketCol).isin(pending: _*))
-      .groupBy(BucketCol)
-      .agg(
-        count(lit(1)).as("n_routed"),
-        approx_count_distinct(col("conv_id")).as("n_convs_approx"),
-        min(col("position")).as("min_pos"),
-        max(col("position")).as("max_pos"))
-      .collect()
-      .map(r => r.getAs[Int](BucketCol) -> r).toMap
+    val observed = obs.get
+    val stats: Map[Int, (Long, Long, Long, Long)] = pending.map { b =>
+      def l(k: String, dflt: Long) =
+        observed.get(k).collect { case n: Number => n.longValue }.getOrElse(dflt)
+      b -> ((l(s"n_$b", 0L), l(s"c_$b", 0L), l(s"mn_$b", -1L), l(s"mx_$b", -1L)))
+    }.toMap
+
+    if (validate) {
+      val back = spark.read.parquet(s"$outDir/routed")
+        .filter(col(BucketCol).isin(pending: _*))
+        .groupBy(BucketCol).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[Int](BucketCol) -> r.getAs[Long]("n")).toMap
+      pending.foreach { b =>
+        val want = stats(b)._1; val got = back.getOrElse(b, 0L)
+        require(got == want, s"bucket $b: committed $got rows, observed $want")
+      }
+    }
 
     Files.createDirectories(manifestDir(outDir))
     pending.foreach { b =>
-      val s = stats.get(b)
+      val (n, c, mn, mx) = stats(b)
       val json =
         s"""{"bucket": $b, "source": "$source",
-           | "n_routed": ${s.map(_.getAs[Long]("n_routed")).getOrElse(0L)},
-           | "n_convs_approx": ${s.map(_.getAs[Long]("n_convs_approx")).getOrElse(0L)},
-           | "min_pos": ${s.map(_.getAs[Long]("min_pos")).getOrElse(-1L)},
-           | "max_pos": ${s.map(_.getAs[Long]("max_pos")).getOrElse(-1L)}}""".stripMargin
+           | "n_routed": $n,
+           | "n_convs_approx": $c,
+           | "min_pos": $mn,
+           | "max_pos": $mx}""".stripMargin
       Files.writeString(manifestDir(outDir).resolve(s"bucket-$b.json"), json)
     }
     pending.size
   }
+
+  /** Newline-delimited canonical-JSON sink — the Spark-native form of the
+    * reference's `streamCollector` (`parser/consumer_chain.go:61-81`): every
+    * passing message serialized by `marshalMessage` and appended with a
+    * trailing newline. `pretty = false` is the CLI default (`main.go:19`);
+    * text-file rows are newline-terminated, so pretty mode yields the same
+    * blank-line-free concatenation `assertJson` trims
+    * (`parse_binlog_file_integration_test.go:83-103`).
+    *
+    * Distributed: one text-file part per partition, no driver collect. For
+    * deterministic file content order, order the input by (conv_id,
+    * turn_idx) beforehand (GoldenFixtureSpec does; at scale, per-partition
+    * order is what the reference's per-file order corresponds to).
+    */
+  def writeNdjson(routed: DataFrame, outDir: String, pretty: Boolean = false): Unit =
+    graft.functions.CanonicalJson.fromRouted(routed, pretty)
+      .write.mode(SaveMode.Overwrite).text(outDir)
 
   /** Per-sink counts of the committed output (for golden-count checks). */
   def committedSinkCounts(spark: SparkSession, outDir: String): DataFrame =

@@ -45,7 +45,9 @@ object CanonicalJson {
     sb.toString
   }
 
-  private val IntLike = "^-?\\d{1,18}$".r
+  // No leading zeros and no "-0": Go only marshals genuinely typed ints,
+  // which never render as 007 or -0 (ADVICE r01) — such strings stay quoted.
+  private val IntLike = "^(0|-?[1-9]\\d{0,17})$".r
 
   /** Values that were integers in the source render unquoted (Go marshals
     * the decoder's typed ints as numbers).
@@ -95,6 +97,43 @@ object CanonicalJson {
   }
 
   // ------------------------------------------------------------------
+  // Compact mode — Go's `json.Marshal`, the reference CLI's DEFAULT output
+  // (`parser/consumer_chain.go:103-109`: pretty is opt-in via
+  // `-prettyprint`, `main.go:19`). Single line, zero whitespace, same
+  // field order and HTML-safe escaping as the pretty renderer.
+  // ------------------------------------------------------------------
+
+  private def renderRowDataCompact(entries: Seq[(String, String)],
+      notice: String): String = {
+    val rowBody =
+      if (entries.isEmpty) "{}"
+      else entries.map { case (k, v) =>
+        s""""${escape(k)}":${renderValue(v)}"""
+      }.mkString("{", ",", "}")
+    s"""{"Row":$rowBody,"MappingNotice":"${escape(notice)}"}"""
+  }
+
+  /** One full message document, compact (`json.Marshal`) mode. */
+  def renderCompact(
+      role: String, tool: String, eventTime: String, position: Long, txnId: Long,
+      eventType: String,
+      rowEntries: Seq[(String, String)], oldEntries: Seq[(String, String)],
+      newEntries: Seq[(String, String)], notice: String, query: String): String = {
+    val header =
+      s""""Header":{"Schema":"${escape(role)}","Table":"${escape(tool)}",""" +
+      s""""BinlogMessageTime":"${escape(eventTime)}","BinlogPosition":$position,"XId":$txnId}""" +
+      s""","Type":"$eventType""""
+    val payload = eventType match {
+      case "Query" => s""""Query":"${escape(query)}""""
+      case "Update" =>
+        s""""OldData":${renderRowDataCompact(oldEntries, notice)},""" +
+        s""""NewData":${renderRowDataCompact(newEntries, notice)}"""
+      case _ => s""""Data":${renderRowDataCompact(rowEntries, notice)}"""
+    }
+    s"{$header,$payload}"
+  }
+
+  // ------------------------------------------------------------------
   // Expression-level serializer — the PRODUCTION path: built entirely from
   // concat/when/transform + the custom codegen'd GoJsonEscape expression,
   // so serialization stays inside whole-stage codegen (no Dataset.map
@@ -104,7 +143,7 @@ object CanonicalJson {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
-  private val IntLikeRe = "^-?\\d{1,18}$"
+  private val IntLikeRe = "^(0|-?[1-9]\\d{0,17})$"
 
   private def escCol(c: Column): Column = GoJsonEscape(c)
 
@@ -125,6 +164,40 @@ object CanonicalJson {
       lit("{\n" + inner + "\"Row\": "), body,
       lit(",\n" + inner + "\"MappingNotice\": \""), escCol(notice),
       lit("\"\n" + indent + "}"))
+  }
+
+  private def rowDataColCompact(entries: Column, notice: Column): Column = {
+    val body = when(size(entries) === 0, lit("{}"))
+      .otherwise(concat(
+        lit("{"),
+        array_join(transform(entries, e =>
+          concat(lit("\""), escCol(e.getField("k")), lit("\":"),
+            valueCol(e.getField("v")))), ","),
+        lit("}")))
+    concat(lit("{\"Row\":"), body,
+      lit(",\"MappingNotice\":\""), escCol(notice), lit("\"}"))
+  }
+
+  /** Compact (`json.Marshal`) document as a single codegen'd column —
+    * expression twin of [[renderCompact]] (equality asserted by
+    * CanonicalJsonSpec).
+    */
+  def jsonColumnCompact: Column = {
+    val header = concat(
+      lit("\"Header\":{\"Schema\":\""), escCol(col("role")),
+      lit("\",\"Table\":\""), escCol(col("tool")),
+      lit("\",\"BinlogMessageTime\":\""), escCol(col("event_time")),
+      lit("\",\"BinlogPosition\":"), col("position").cast("string"),
+      lit(",\"XId\":"), col("txn_id").cast("string"),
+      lit("},\"Type\":\""), col("event_type"), lit("\""))
+    val notice = coalesce(col("mapping_notice"), lit(""))
+    val payload = when(col("event_type") === "Query",
+        concat(lit("\"Query\":\""), escCol(col("query")), lit("\"")))
+      .when(col("event_type") === "Update",
+        concat(lit("\"OldData\":"), rowDataColCompact(col("old_entries"), notice),
+          lit(",\"NewData\":"), rowDataColCompact(col("new_entries"), notice)))
+      .otherwise(concat(lit("\"Data\":"), rowDataColCompact(col("row_entries"), notice)))
+    concat(lit("{"), header, lit(","), payload, lit("}"))
   }
 
   /** Canonical JSON document as a single codegen'd column over the routed
@@ -149,17 +222,20 @@ object CanonicalJson {
   }
 
   /** Routed frame → Dataset[String] of canonical JSON documents, in
-    * (conv_id, turn_idx) order within partitions.
+    * (conv_id, turn_idx) order within partitions. `pretty = false` is the
+    * reference CLI's default (`json.Marshal`); `pretty = true` mirrors its
+    * `-prettyprint` flag (`main.go:19`).
     */
-  def fromRouted(routed: DataFrame): Dataset[String] = {
+  def fromRouted(routed: DataFrame, pretty: Boolean): Dataset[String] = {
     val spark = routed.sparkSession
     import spark.implicits._
     def entries(r: Row, field: String): Seq[(String, String)] = {
       val raw = r.getAs[scala.collection.Seq[Row]](field)
       if (raw == null) Nil else raw.map(e => (e.getString(0), e.getString(1))).toSeq
     }
+    val renderer = if (pretty) render _ else renderCompact _
     routed.map { r =>
-      render(
+      renderer(
         r.getAs[String]("role"), r.getAs[String]("tool"),
         r.getAs[String]("event_time"), r.getAs[Long]("position"),
         r.getAs[Long]("txn_id"), r.getAs[String]("event_type"),
@@ -169,4 +245,8 @@ object CanonicalJson {
         r.getAs[String]("query"))
     }
   }
+
+  /** Pretty-mode overload (pre-round-2 signature, kept for callers/tests). */
+  def fromRouted(routed: DataFrame): Dataset[String] =
+    fromRouted(routed, pretty = true)
 }

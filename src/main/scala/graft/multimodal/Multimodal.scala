@@ -101,6 +101,27 @@ object Multimodal {
     }
   }
 
+  /** Fixed-point per-dimension embedding checksums — the ORACLE-CHECKABLE
+    * form of [[embed]]. Each (media_id, d) row carries
+    * `round(1e6 * Σ_{i ≡ d (mod dim)} samples(i)/255.0)` computed as a
+    * sequential left-fold over ascending i in Double: DuckDB's
+    * `list_reduce` folds the identical list in the identical order, so the
+    * doubles are bit-identical cross-engine and the rounded fixed-point is
+    * exactly comparable (see MultimodalPack.oracleSql).
+    */
+  def embedFixedPoint(media: Dataset[Media], dim: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val s = decodeBytes(m.payload)
+      (0 until dim).map { d =>
+        var acc = 0.0
+        var i = d
+        while (i < s.length) { acc += s(i) / 255.0; i += dim }
+        (m.media_id, d, math.round(acc * 1e6))
+      }
+    }.toDF("media_id", "d", "fp")
+  }
+
   /** Deterministic embedding from decoded samples (bridges multimodal data
     * into the ANN/similarity operators).
     */

@@ -39,10 +39,17 @@ object Enrich {
     */
   def rowRepr(names: Column, vals: Column): Column = {
     val mismatch = size(vals) =!= size(names)
+    // Sort KEY-FIRST (struct sort), not the concatenated "k=v" string: when
+    // one key is a proper prefix of another ("a" vs "a1"), '=' (0x3d) sorts
+    // above '1' so the string orders diverge from Go's map-key order — and
+    // from MapRows, which key-sorts (ADVICE r01).
     val entries = when(mismatch,
-        transform(vals, (v, i) => concat(lit("(unknown_"), i.cast("string"), lit(")="), v)))
-      .otherwise(zip_with(names, vals, (n, v) => concat(n, lit("="), v)))
-    array_join(array_sort(entries), ",")
+        transform(vals, (v, i) => struct(
+          concat(lit("(unknown_"), i.cast("string"), lit(")")).as("k"), v.as("v"))))
+      .otherwise(zip_with(names, vals, (n, v) => struct(n.as("k"), v.as("v"))))
+    array_join(
+      transform(array_sort(entries),
+        e => concat(e.getField("k"), lit("="), e.getField("v"))), ",")
   }
 
   /** Exact notice strings from `row_data.go:46,50`; empty when clean. */

@@ -46,14 +46,17 @@ object Parse {
       substring(col("text"), locate(marker, col("text")) + marker.length, lit(Int.MaxValue)))
 
   def parse(turns: DataFrame): DataFrame = {
+    graft.functions.ParseVals.register(turns.sparkSession)
     // "EVENT <kind> ..." -> <kind>, whitelisted (word-boundary analog)
     val kindRaw = substring_index(substring(col("text"), 7, 7), " ", 1)
     val kind = when(col("text").startsWith("EVENT ") && kindRaw.isin(Kinds: _*), kindRaw)
       .otherwise("")
-    // "[a|b];[c|d]" -> [["a","b"],["c","d"]]
-    val vals = transform(
-      split(tail("vals="), ";"),
-      grp => split(trim(grp, "[]"), "\\|"))
+    // "[a|b];[c|d]" -> [["a","b"],["c","d"]] — fused one-pass parser with
+    // exactly-one-bracket strip + backslash escaping (see ParseVals; the
+    // old transform(split(…), trim(…, "[]")) HOF chain was ~80 of 109 map-
+    // stage core-seconds and stripped bracket RUNS, diverging from the
+    // oracle on bracket-adjacent values).
+    val vals = graft.functions.ParseVals(tail("vals="))
     turns
       .withColumn("kind", kind)
       .withColumn("stmt", coalesce(tail("stmt="), lit("")))

@@ -61,9 +61,29 @@ object AnnPack extends QueryPack {
       s"""SELECT vec_id, ${duckBucket("emb", 8)} AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)""",
 
+    // mirrors Similarity.trainCentroids (iters=1): md5-spread seeds, one
+    // Lloyd step, INTEGER-sum fixed-point centroids (scale-free under
+    // cosine → no float accumulation, engine/bit-identical).
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-          cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
+          sample AS (SELECT vec_id, emb,
+              row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rk
+            FROM e QUALIFY rk <= 4096),
+          seeds AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, emb AS cent_emb
+            FROM sample WHERE rk <= 16),
+          assign1 AS (SELECT vec_id, emb, cent_id,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
+            FROM sample, seeds),
+          dims AS (SELECT cent_id, u.e['p'] AS p, u.e['x'] AS x
+            FROM (SELECT cent_id, emb FROM assign1 WHERE crank = 1) m,
+              UNNEST(list_transform(m.emb, (x, i) -> {'p': i, 'x': x})) AS u(e)),
+          cents AS (SELECT cent_id,
+              list_transform(list_sort(list({'p': p, 's': s2})),
+                e -> CAST(e.s AS DOUBLE)) AS cent_emb
+            FROM (SELECT cent_id, p, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s2
+                  FROM dims GROUP BY cent_id, p)
+            GROUP BY cent_id),
           ranked AS (
             SELECT vec_id, emb, cent_id,
               row_number() OVER (PARTITION BY vec_id

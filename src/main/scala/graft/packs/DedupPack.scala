@@ -55,7 +55,8 @@ object DedupPack extends QueryPack {
     "dedup_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidates(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashDocs(docs(s, dir)))
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashDocs(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashCandidates(docs(s, dir)))
   )
 
   def oracleSql = Map(
@@ -89,6 +90,20 @@ object DedupPack extends QueryPack {
           JOIN shingled sa ON sa.doc_id = c.a
           JOIN shingled sb ON sb.doc_id = c.b""",
 
-    "dedup_simhash" -> duckSimhash
+    "dedup_simhash" -> duckSimhash,
+
+    // banded SimHash candidates: 4×8-bit bands, equi-join, exact hamming
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($duckSimhash),
+          banded AS (
+            SELECT doc_id, sh32, b.band, (sh32 >> (b.band * 8)) & 255 AS key
+            FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              l.sh32 AS sh_a, r.sh32 AS sh_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+          SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming,
+            CASE WHEN bit_count(xor(sh_a, sh_b)) <= 6 THEN 1 ELSE 0 END AS is_dup
+          FROM cand"""
   )
 }

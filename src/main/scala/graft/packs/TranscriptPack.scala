@@ -51,12 +51,20 @@ object TranscriptPack extends QueryPack {
   /** DuckDB expression: canonical "k=v,..." repr of one physical row `v`
     * against `field_names` (mirrors [[Enrich.rowRepr]]).
     */
+  /** Key-FIRST sort via struct list_sort (struct comparison is field-order
+    * lexicographic), mirroring [[Enrich.rowRepr]]/MapRows: sorting the
+    * concatenated "k=v" string diverges when a key prefixes another key
+    * (ADVICE r01).
+    */
   private def duckRepr(v: String): String =
-    s"""array_to_string(list_sort(
+    // field names chosen to avoid capture: this fragment is itself embedded
+    // inside a lambda whose parameter is `v`, and DuckDB resolves `e.v`
+    // to that OUTER lambda variable instead of the struct field
+    s"""array_to_string(list_transform(list_sort(
        CASE WHEN len($v) <> len(field_names)
-         THEN list_transform($v, (x, i) -> '(unknown_' || CAST(i - 1 AS STRING) || ')=' || x)
-         ELSE list_transform($v, (x, i) -> field_names[i] || '=' || x)
-       END), ',')"""
+         THEN list_transform($v, (x, i) -> {'ek': '(unknown_' || CAST(i - 1 AS STRING) || ')', 'ev': x})
+         ELSE list_transform($v, (x, i) -> {'ek': field_names[i], 'ev': x})
+       END), e -> e.ek || '=' || e.ev), ',')"""
 
   private def duckNotice(v: String): String =
     s"""CASE WHEN len($v) > len(field_names) THEN 'column names array is missing field(s), will map them as unknown_*'
@@ -148,6 +156,24 @@ object TranscriptPack extends QueryPack {
       Agg.sinkCounts(Pipeline.routedFromEvents(s, dir,
         PipelineConfig(includeTools = Seq("search"))))),
 
+    // F1 role side: include-roles with the scan-side pushdown
+    // (schemaPredicate, consumer_chain.go:83-91 + VERDICT r01 #6)
+    "f2_role_filter" -> ((s, dir) =>
+      Agg.sinkCounts(Pipeline.routedFromEvents(s, dir,
+        PipelineConfig(includeRoles = Seq("user", "tool"))))),
+
+    // K2: compact json.Marshal rendering (the reference CLI default,
+    // consumer_chain.go:103-109) — Query messages are oracle-expressible
+    // because their payload needs no map-entry assembly and the generated
+    // stmt corpus is escape-free (identity under Go escaping).
+    "k2_json_compact" -> ((s, dir) => {
+      graft.functions.GoJsonEscape.register(s)
+      Pipeline.routedFromEvents(s, dir)
+        .filter(col("event_type") === "Query")
+        .select(col("conv_id"), col("turn_idx"),
+          graft.functions.CanonicalJson.jsonColumnCompact.as("doc"))
+    }),
+
     // A1: conservation ledger
     "a1_reconcile" -> ((s, dir) =>
       Agg.reconcile(enriched(s, dir)))
@@ -196,6 +222,20 @@ object TranscriptPack extends QueryPack {
           SELECT role, tool, event_type, CAST(SUM(n_messages) AS BIGINT) AS n
           FROM routable WHERE n_messages > 0 AND (tool = '' OR tool IN ('search'))
           GROUP BY role, tool, event_type"""),
+
+    "f2_role_filter" -> withEnriched(
+      s""", $duckRoutedCounts
+          SELECT role, tool, event_type, CAST(SUM(n_messages) AS BIGINT) AS n
+          FROM routable WHERE n_messages > 0 AND (role = '' OR role IN ('user', 'tool'))
+          GROUP BY role, tool, event_type"""),
+
+    "k2_json_compact" -> withEnriched(
+      s"""SELECT conv_id, turn_idx,
+          '{"Header":{"Schema":"' || role || '","Table":"(unknown)","BinlogMessageTime":"'
+            || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+            || '","BinlogPosition":' || CAST(turn_idx AS STRING)
+            || ',"XId":0},"Type":"Query","Query":"' || stmt || '"}' AS doc
+          FROM enriched WHERE kind = 'query' AND NOT suppressed"""),
 
     "a1_reconcile" -> withEnriched(
       """SELECT CAST(count(*) AS BIGINT) AS turns,

@@ -55,8 +55,19 @@ object Transcripts {
   /** turnsCte plus the lookup CTE, for enrichment oracles. */
   lazy val turnsAndLookupCte: String = s"$turnsCte, $lookupCte"
 
+  /** Fail-fast input validation — the `ParseBinlog` stat-before-parse
+    * analog (`parser/binlog_parser.go:9-15`): surface a clear error BEFORE
+    * building the DAG instead of a deep AnalysisException from the reader.
+    */
+  def requireReadable(path: String): Unit = {
+    val f = new java.io.File(path)
+    require(f.exists, s"input not found: $path (binlog_parser.go:9-15 analog)")
+    require(f.canRead, s"input not readable: $path")
+  }
+
   /** The same rows, computed by Spark from `$sfDir/events.parquet`. */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    requireReadable(s"$sfDir/events.parquet")
     spark.read.parquet(s"$sfDir/events.parquet")
       .createOrReplaceTempView("graft_events_src")
     spark.sql(s"SELECT ${selectBody("div")} FROM graft_events_src")

@@ -26,6 +26,22 @@ class EnrichSpec extends SparkSpec {
     assert(n == "")
   }
 
+  test("prefix-related keys sort key-first, like Go map order (ADVICE r01)") {
+    // string-sorting "k=v" would put "a1=y" before "a=x" ('1' < '=');
+    // Go sorts map KEYS: "a" < "a1".
+    val (r, n) = repr(Seq("a", "a1"), Seq("x", "y"))
+    assert(r == "a=x,a1=y")
+    assert(n == "")
+    // and MapRows (the fused production path) agrees
+    graft.functions.MapRows.register(spark)
+    val s = spark
+    import s.implicits._
+    val viaMapRows = Seq((Seq("a", "a1"), Seq(Seq("x", "y")))).toDF("names", "vals")
+      .select(graft.functions.MapRows(col("names"), col("vals")).as("m"))
+      .selectExpr("m[0].repr").collect().head.getString(0)
+    assert(viaMapRows == "a=x,a1=y")
+  }
+
   test("row longer: ALL keys (unknown_i) + exact notice (row_data.go:46)") {
     val (r, n) = repr(Seq("a", "b"), Seq("1", "2", "3"))
     assert(r == "(unknown_0)=1,(unknown_1)=2,(unknown_2)=3")

@@ -20,6 +20,31 @@ class ParseSpec extends SparkSpec {
     assert(vals == Seq(Seq("1", "ACME", "x"), Seq("2", "Sales", "y")))
   }
 
+  test("vals grammar: exactly one bracket stripped per side; inner brackets are data (ADVICE r01)") {
+    def vals(r: Row) = r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("vals")
+      .map(_.toSeq).toSeq
+    // value ENDING in ']': trim(g,"[]") used to strip the run and lose a byte
+    assert(vals(parseOne("EVENT insert rows=1 vals=[[a]]")) == Seq(Seq("[a]")))
+    // bracket/pipe inside values, mid-group
+    assert(vals(parseOne("EVENT insert rows=1 vals=[a]b|c]")) == Seq(Seq("a]b", "c")))
+    // empty value list and empty trailing value
+    assert(vals(parseOne("EVENT insert rows=1 vals=[]")) == Seq(Seq("")))
+    assert(vals(parseOne("EVENT insert rows=1 vals=[2|ACME Sales|]")) == Seq(Seq("2", "ACME Sales", "")))
+  }
+
+  test("vals grammar: backslash escaping lets values carry the delimiters (VERDICT r01 #7)") {
+    def vals(r: Row) = r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("vals")
+      .map(_.toSeq).toSeq
+    assert(vals(parseOne("""EVENT insert rows=1 vals=[a\|b|c\;d]""")) == Seq(Seq("a|b", "c;d")))
+    assert(vals(parseOne("""EVENT insert rows=1 vals=[x\]\;\[y|\\]""")) == Seq(Seq("x];[y", "\\")))
+    // an adversarial value that used to silently split the group
+    val hostile = "v1\\]\\;\\[v2"
+    val r = parseOne(s"EVENT insert rows=1 vals=[$hostile|ok]")
+    assert(vals(r) == Seq(Seq("v1];[v2", "ok")))
+    // and the escapeValue encoder produces exactly that form
+    assert(graft.functions.ParseVals.escapeValue("v1];[v2") == hostile)
+  }
+
   test("update line parses pairs of vals") {
     val r = parseOne("EVENT update rows=2 vals=[1|a|old];[1|a|new]")
     assert(r.getAs[String]("kind") == "update")
@@ -52,6 +77,13 @@ class ParseSpec extends SparkSpec {
     val r = parseOne("just some free text")
     assert(r.getAs[String]("kind") == "")
     assert(r.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("vals") == null)
+  }
+
+  test("S2: missing input fails fast with a clear message (binlog_parser.go:9-15)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Transcripts.fromEvents(spark, "/no/such/dir")
+    }
+    assert(e.getMessage.contains("input not found: /no/such/dir/events.parquet"))
   }
 
   test("text passes through byte-identical incl. UTF-8 (north-rule invariant)") {

@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
       s"pushdown missing:\n$p")
   }
 
+  test("includeRoles pushes to the parquet scan, keeping commits (VERDICT r01 #6)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-roleskip").toString
+    Transcripts.synthetic(spark, 2000, 20).write.mode("overwrite").parquet(dir)
+    val turns = spark.read.parquet(dir)
+    val routed = Pipeline.routed(turns, Transcripts.lookup(spark),
+      PipelineConfig(includeRoles = Seq("user")))
+    val p = plan(routed)
+    val pushed = "PushedFilters: [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("In(role") || pushed.contains("EqualTo(role"),
+      s"role predicate not pushed to scan:\n$pushed")
+    assert(pushed.contains("StringStartsWith(text,EVENT commit"),
+      s"commit-keeper predicate not pushed:\n$pushed")
+    // semantics unchanged vs post-hoc filtering (commits still drive txns)
+    val reference = graft.operators.Route.includeFilters(
+      Pipeline.routed(turns, Transcripts.lookup(spark)), Seq("user"), Nil)
+    assert(routed.count() == reference.count())
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))

@@ -41,6 +41,32 @@ class PropertySpec extends SparkSpec {
     } yield (s"conv$c", 0, role, t, tool))
   } yield rows.zipWithIndex.map { case ((c, _, r, t, tl), i) => (c, i, r, t, tl) }
 
+  test("escape round-trip: arbitrary values survive the vals grammar (VERDICT r01 #7)") {
+    import graft.functions.ParseVals
+    // adversarial alphabet heavy on delimiters and the escape char
+    val valueGen = SGen.listOf(SGen.frequency(
+      6 -> SGen.alphaNumChar,
+      4 -> SGen.oneOf('|', ';', '[', ']', '\\', '=', ' '),
+      1 -> SGen.oneOf('é', '世', '‽'))).map(_.mkString)
+    val rowsGen = SGen.choose(1, 4).flatMap(n =>
+      SGen.listOfN(n, SGen.choose(1, 5).flatMap(m => SGen.listOfN(m, valueGen))))
+    val cases = samples(rowsGen, 60)
+    val s = spark
+    import s.implicits._
+    ParseVals.register(s)
+    val encoded = cases.map { rows =>
+      rows.map(_.map(ParseVals.escapeValue).mkString("[", "|", "]")).mkString(";")
+    }
+    val parsed = encoded.toDF("payload")
+      .select(ParseVals(org.apache.spark.sql.functions.col("payload")).as("v"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[scala.collection.Seq[String]]](0)
+        .map(_.toList).toList)
+    cases.zip(parsed).foreach { case (want, got) =>
+      assert(got == want.map(_.toList).toList, s"round-trip failed for $want")
+    }
+  }
+
   test("conservation + text identity + filter monotonicity + salted parity") {
     samples(turnsGen, 8).foreach { rows =>
       if (rows.nonEmpty) {
