@@ -50,10 +50,17 @@ object Bench {
 
   private def r3(x: Double) = math.rint(x * 1000) / 1000
 
-  /** Per-core heap for a scaling point (per-executor memory × executors on
-    * a real cluster); ≤ 28g keeps CompressedOops.
+  /** Heap = fixed driver share + per-core executor share (2 g + 0.8125
+    * g/core, = 28 g at 32 cores, the CompressedOops ceiling). A real
+    * cluster's memory grows with its executor count, so every scaling
+    * point gets the same per-core slice — a FIXED heap gifts the small
+    * point spare memory the big point doesn't have per core (measured:
+    * 8 g at 2 cores → eff 0.75; pure-proportional 2 g → eff 1.01, i.e.
+    * over-penalized because this single JVM also hosts the driver's fixed
+    * overhead; the driver+executors split models it fairly).
     */
-  private def heapGb(cpus: Int): Int = math.min(28, math.max(8, cpus))
+  private def heapGb(cpus: Int): Int =
+    math.min(28, 2 + math.ceil(cpus * 13.0 / 16.0).toInt)
 
   /** Shuffle partitioning stays CONSTANT across the two cluster sizes —
     * the data's partition count does not change when executors are added.
@@ -100,7 +107,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val shufflePartitions = cpus * 4 // constant across all cluster sizes
+    // constant across all cluster sizes; 8× the top core count measured
+    // best (finer tasks hide stragglers at 32 cores, no cost at 8)
+    val shufflePartitions = cpus * 8
 
     // Three cluster sizes → two N→4N pairs sharing the middle point:
     // (2→8) and (8→32) on a 32-core host. The 2→8 pair is the primary

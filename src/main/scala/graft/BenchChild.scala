@@ -94,8 +94,13 @@ object BenchChild {
     pipelineRun(spark, nTurns) // FULL-SIZE warmup: JIT, codegen, allocator
     System.gc()
     acct.foreach(_.reset())
+    // Two timed runs, min reported: clean same-config JVMs still measured
+    // 2× apart on single timed runs (JIT tier luck / transient host state);
+    // the min of two post-warmup runs is a far tighter capability estimate.
     val before = cpuTicks()
-    val sec = pipelineRun(spark, nTurns)
+    val sec1 = pipelineRun(spark, nTurns)
+    val sec2 = pipelineRun(spark, nTurns)
+    val sec = math.min(sec1, sec2)
     val after = cpuTicks()
     acct.foreach { a =>
       Thread.sleep(300) // let the listener bus drain
@@ -104,7 +109,7 @@ object BenchChild {
     val d = after.zip(before).map { case (a, b) => a - b }
     val total = math.max(1L, d.sum)
     val hz = 100.0 // USER_HZ ticks/sec
-    val userCores = d(0) / hz / sec
+    val userCores = d(0) / hz / (sec1 + sec2) // ticks span both timed runs
     val stealPct = 100.0 * d(4) / total
     val idlePct = 100.0 * d(2) / total
     def r2(x: Double) = math.rint(x * 100) / 100

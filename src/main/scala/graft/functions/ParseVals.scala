@@ -38,46 +38,65 @@ case class ParseVals(child: Expression)
   override def dataType: DataType =
     ArrayType(ArrayType(StringType, containsNull = false), containsNull = false)
 
+  // The scan runs on the UTF-8 BYTES directly — all structural characters
+  // (| ; [ ] \) are ASCII, and in UTF-8 an ASCII byte can never occur
+  // inside a multi-byte sequence, so no decode is needed. Avoiding the
+  // String round-trip (UTF-8 decode + char append + re-encode per value)
+  // roughly halves the map-stage allocation rate, which is what throttles
+  // this stage's multi-core scaling (memory bandwidth, see BASELINE.md).
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val n = b.length
     val groups = new scala.collection.mutable.ArrayBuffer[Any](4)
     val vals = new scala.collection.mutable.ArrayBuffer[Any](8)
-    val sb = new java.lang.StringBuilder(24)
-    val n = s.length
-    var i = 0
+    var buf = new Array[Byte](64)
+    var bufLen = 0
+    var segStart = 0 // start of the pending raw byte segment
     var groupStarted = false // saw the group's leading '['
     var pendingClose = false // saw a ']' that may be the group terminator
 
-    def flushVal(): Unit = {
-      if (pendingClose) { pendingClose = false } // drop exactly one ']'
-      vals += UTF8String.fromString(sb.toString)
-      sb.setLength(0)
+    def ensure(extra: Int): Unit =
+      if (bufLen + extra > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, bufLen + extra))
+    def appendSeg(endEx: Int): Unit = {
+      val len = endEx - segStart
+      if (len > 0) {
+        ensure(len); System.arraycopy(b, segStart, buf, bufLen, len); bufLen += len
+      }
     }
-    def flushGroup(): Unit = {
-      flushVal()
+    def appendByte(x: Byte): Unit = { ensure(1); buf(bufLen) = x; bufLen += 1 }
+    def emitVal(endEx: Int): Unit = {
+      appendSeg(endEx)
+      vals += UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, bufLen))
+      bufLen = 0
+    }
+    def emitGroup(endEx: Int): Unit = {
+      if (pendingClose) pendingClose = false // drop exactly one trailing ']'
+      emitVal(endEx)
       groups += new GenericArrayData(vals.toArray)
       vals.clear()
       groupStarted = false
     }
+    var i = 0
     while (i < n) {
-      val c = s.charAt(i)
+      val c = b(i)
       if (pendingClose && c != ';') {
-        // the ']' was not a terminator after all — keep it as data
-        sb.append(']'); pendingClose = false
+        appendByte(']'); pendingClose = false // not a terminator — keep as data
       }
-      c match {
-        case '\\' if i + 1 < n =>
-          sb.append(s.charAt(i + 1)); i += 1
-        case '[' if !groupStarted && sb.length == 0 && vals.isEmpty =>
-          groupStarted = true // strip exactly one leading '['
-        case ']' => pendingClose = true
-        case ';' => flushGroup()
-        case '|' => flushVal()
-        case other => sb.append(other)
-      }
+      if (c == '\\' && i + 1 < n) {
+        appendSeg(i); appendByte(b(i + 1)); i += 1; segStart = i + 1
+      } else if (c == '[' && !groupStarted && bufLen == 0 && i == segStart && vals.isEmpty) {
+        groupStarted = true; segStart = i + 1 // strip exactly one leading '['
+      } else if (c == ']') {
+        appendSeg(i); pendingClose = true; segStart = i + 1
+      } else if (c == ';') {
+        emitGroup(i); segStart = i + 1
+      } else if (c == '|') {
+        emitVal(i); segStart = i + 1
+      } // else: plain data byte, stays in the pending segment
       i += 1
     }
-    flushGroup()
+    emitGroup(n)
     new GenericArrayData(groups.toArray)
   }
 

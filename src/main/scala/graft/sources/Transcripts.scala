@@ -73,6 +73,32 @@ object Transcripts {
     spark.sql(s"SELECT ${selectBody("div")} FROM graft_events_src")
   }
 
+  /** Turns from newline-delimited JSON — the ingest format most log
+    * pipelines actually ship (and the reference's own OUTPUT format, so a
+    * graft stage can consume another's stream). Schema is EXPLICIT: at
+    * 100 TB a schema-inference pass would read the corpus twice, and a
+    * drifting field must fail loudly, not silently re-type a column.
+    * `ts` accepts epoch seconds or ISO-8601.
+    */
+  def fromNdjson(spark: SparkSession, path: String): DataFrame = {
+    requireReadable(path)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv_id", StringType, nullable = false),
+      StructField("turn_idx", IntegerType, nullable = false),
+      StructField("role", StringType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("tool", StringType, nullable = false),
+      StructField("ts", StringType, nullable = false)))
+    // try_* variants: ANSI mode (Spark 4 default) makes plain casts THROW
+    // on the non-matching branch instead of yielding null
+    spark.read.schema(schema).json(path)
+      .withColumn("ts",
+        coalesce(
+          timestamp_seconds(expr("try_cast(ts AS BIGINT)")),
+          expr("try_to_timestamp(ts)")))
+  }
+
   /** Lookup (enrichment) table — the TableMap analog
     * (`database/table_map.go:8-60`). Field specs mirror the reference's
     * seeded test schema (`data/fixtures/test_db.sql`): buildings, rooms,

@@ -98,6 +98,49 @@ class CanonicalJsonSpec extends SparkSpec {
     assert(CanonicalJson.renderValue("2017-04-24") == "\"2017-04-24\"")
   }
 
+  test("compact json.Marshal mode is byte-exact — the reference CLI default (consumer_chain.go:103-109)") {
+    val got = CanonicalJson.renderCompact(
+      role = "test_db", tool = "buildings",
+      eventTime = "2017-04-13T06:34:30Z", position = 397L, txnId = 9L,
+      eventType = "Insert",
+      rowEntries = Seq(
+        ("address", "3950 North 1st Street CA 95134"),
+        ("building_name", "ACME Headquaters"),
+        ("building_no", "1")),
+      oldEntries = Nil, newEntries = Nil, notice = "", query = null)
+    val expected =
+      """{"Header":{"Schema":"test_db","Table":"buildings","BinlogMessageTime":"2017-04-13T06:34:30Z","BinlogPosition":397,"XId":9},"Type":"Insert","Data":{"Row":{"address":"3950 North 1st Street CA 95134","building_name":"ACME Headquaters","building_no":1},"MappingNotice":""}}"""
+    assert(got == expected)
+    val q = CanonicalJson.renderCompact("db", "(unknown)", "2017-04-24T04:32:20Z",
+      220L, 0L, "Query", Nil, Nil, Nil, "", "DELETE FROM `x`")
+    assert(q == """{"Header":{"Schema":"db","Table":"(unknown)","BinlogMessageTime":"2017-04-24T04:32:20Z","BinlogPosition":220,"XId":0},"Type":"Query","Query":"DELETE FROM `x`"}""")
+    assert(!q.contains("\n"))
+  }
+
+  test("leading-zero and -0 values stay quoted; genuine ints do not (ADVICE r01)") {
+    assert(CanonicalJson.renderValue("007") == "\"007\"")
+    assert(CanonicalJson.renderValue("-0") == "\"-0\"")
+    assert(CanonicalJson.renderValue("0") == "0")
+    assert(CanonicalJson.renderValue("10") == "10")
+    assert(CanonicalJson.renderValue("-42") == "-42")
+  }
+
+  test("compact expression twin (jsonColumnCompact) equals the Scala renderer") {
+    graft.functions.GoJsonEscape.register(spark)
+    val turns = mkTurns(Seq(
+      ("c2", 1, "user", "EVENT insert rows=2 vals=[1|A <&> \"q\"|x];[2|héllo 世界|y]", "search"),
+      ("c2", 2, "user", "EVENT update rows=2 vals=[1|a|old];[1|a|new]", "search"),
+      ("c2", 3, "user", "EVENT query stmt=DROP TABLE `x`", "search"),
+      ("c2", 4, "user", "EVENT commit xid=5", "search")))
+    val routed = Pipeline.routed(turns, Transcripts.lookup(spark))
+      .orderBy("turn_idx", "row_repr")
+    val viaMap = CanonicalJson.fromRouted(routed, pretty = false).collect()
+    val viaExpr = routed.select(CanonicalJson.jsonColumnCompact.as("j"))
+      .collect().map(_.getString(0))
+    assert(viaMap.length == 4)
+    viaMap.zip(viaExpr).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("expression-level serializer (codegen'd GoJsonEscape) equals the Scala renderer") {
     graft.functions.GoJsonEscape.register(spark)
     val turns = mkTurns(Seq(
