@@ -71,9 +71,29 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** Distinct candidate pairs (a < b) from shared LSH band buckets. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  /** Distinct candidate pairs (a < b) from shared LSH band buckets.
+    *
+    * `maxBucket` caps the per-bucket membership BEFORE the self-join: a
+    * bucket of m docs yields m²/2 pairs, so one pathological bucket (a
+    * corpus with millions of near-identical boilerplate docs) would go
+    * quadratic at 100 TB (VERDICT r01). The cap keeps the `maxBucket`
+    * LOWEST doc_ids per bucket — deterministic (oracle-replicable with a
+    * windowed row_number) and dedup-sound: docs in an over-full bucket are
+    * near-identical by construction, so the survivors still link the
+    * cluster while the pruned members are re-found through their OTHER
+    * bands or transitively via the keeper. Default Int.MaxValue = off.
+    */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bandsRaw = minhashBands(docs)
+    val bands =
+      if (maxBucket == Int.MaxValue) bandsRaw
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash").orderBy("doc_id")
+        bandsRaw.withColumn("bucket_rank", row_number().over(w))
+          .filter(col("bucket_rank") <= maxBucket)
+          .drop("bucket_rank")
+      }
     val l = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"))
     val r = bands.select(col("band_idx").as("band_idx_r"),
       col("band_hash").as("band_hash_r"), col("doc_id").as("b"))

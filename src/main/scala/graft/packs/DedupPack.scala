@@ -56,7 +56,10 @@ object DedupPack extends QueryPack {
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidates(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashDocs(docs(s, dir))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashCandidates(docs(s, dir)))
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashCandidates(docs(s, dir))),
+    // hot-bucket cap engaged (cap=2): the 100 TB guard, oracle-proven
+    "dedup_minhash_pairs_capped" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), maxBucket = 2))
   )
 
   def oracleSql = Map(
@@ -91,6 +94,16 @@ object DedupPack extends QueryPack {
           JOIN shingled sb ON sb.doc_id = c.b""",
 
     "dedup_simhash" -> duckSimhash,
+
+    "dedup_minhash_pairs_capped" ->
+      s"""$duckMinhashCtes,
+          capped AS (SELECT doc_id, band_idx, band_hash FROM (
+            SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+              ORDER BY doc_id) AS rk FROM bands) WHERE rk <= 2)
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM capped l JOIN capped r
+            ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id""",
 
     // banded SimHash candidates: 4×8-bit bands, equi-join, exact hamming
     "dedup_simhash_pairs" ->

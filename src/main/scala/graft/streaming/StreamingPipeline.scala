@@ -108,6 +108,26 @@ object StreamingPipeline {
       cfg.includeRoles, cfg.includeTools)
   }
 
+  /** Streaming NDJSON sink — `streamCollector` (`consumer_chain.go:61-81`)
+    * as a continuous query: each routed message serialized by the
+    * CODEGEN'D canonical-JSON expression (no typed map, so the streaming
+    * plan stays whole-stage) and appended newline-delimited via the text
+    * file sink (exactly-once through the sink's commit log + the state
+    * store checkpoint). Returns the started query.
+    */
+  def ndjsonSink(routedStream: DataFrame, outDir: String, checkpointDir: String,
+      pretty: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.GoJsonEscape.register(routedStream.sparkSession)
+    val doc = if (pretty) graft.functions.CanonicalJson.jsonColumn
+      else graft.functions.CanonicalJson.jsonColumnCompact
+    routedStream.select(doc.as("value"))
+      .writeStream
+      .format("text")
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start(outDir)
+  }
+
   /** Watermarked per-sink windowed counts — the streaming aggregate stage. */
   def windowedSinkCounts(routedStream: DataFrame, window_ : String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =

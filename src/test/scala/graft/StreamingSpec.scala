@@ -61,6 +61,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NDJSON sink writes compact json.Marshal lines (K1 streaming parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-ndjson").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+
+    val input = MemoryStream[Turn]
+    val routed = StreamingPipeline.routedStream(input.toDF(), Transcripts.lookup(spark))
+    val q = StreamingPipeline.ndjsonSink(routed, outDir, ckDir)
+    try {
+      input.addData(
+        turn("c9", 1, "EVENT insert rows=1 vals=[1|ACME|x]"),
+        turn("c9", 2, "EVENT commit xid=77"),
+        turn("c9", 3, "EVENT query stmt=DROP TABLE x"))
+      q.processAllAvailable()
+      val lines = spark.read.text(outDir).collect().map(_.getString(0)).sorted
+      assert(lines.length == 2) // 1 Insert + 1 Query, commit emits nothing
+      assert(lines.forall(l => l.startsWith("{\"Header\":{\"Schema\":\"user\",") && !l.contains("\n")))
+      assert(lines.exists(_.contains("\"Type\":\"Insert\"")))
+      assert(lines.exists(_.contains("\"XId\":77")))
+      assert(lines.exists(_.contains("\"Type\":\"Query\"")))
+    } finally q.stop()
+  }
+
   test("uncommitted buffer is never emitted (EOF discard semantics)") {
     val s = spark
     import s.implicits._
