@@ -150,14 +150,8 @@ object Dedup {
     * Token hashes are materialized once and shared by the 32 bit counters.
     */
   def simhashDocs(docs: DataFrame): DataFrame = {
-    val withHashes = docs.select(col("doc_id"),
-      transform(TextAnalysis.tokens(col("text")), t => h32(t)).as("hs"))
-    val n = size(col("hs"))
-    val bits = (0 until 32).map { j =>
-      when(size(filter(col("hs"),
-        h => pmod(shiftright(h, j), lit(2)) === 1)) * 2 >= n,
-        lit(1L << j)).otherwise(lit(0L))
-    }
-    withHashes.select(col("doc_id"), bits.reduce(_ + _).as("sh32"))
+    graft.functions.SimHashSig.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.SimHashSig(TextAnalysis.tokens(col("text"))).as("sh32"))
   }
 }
