@@ -176,7 +176,18 @@ object TranscriptPack extends QueryPack {
 
     // A1: conservation ledger
     "a1_reconcile" -> ((s, dir) =>
-      Agg.reconcile(enriched(s, dir)))
+      Agg.reconcile(enriched(s, dir))),
+
+    // X1/X2: gap-based sessionization (telemetry staple; 1h idle gap)
+    "x1_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(turns(s, dir), gapSeconds = 3600)
+        .select(col("conv_id"), col("turn_idx"), col("session_seq"), col("session_id"))),
+    "x2_session_bounds" -> ((s, dir) =>
+      Sessionize.sessionBounds(Sessionize.sessionize(turns(s, dir), gapSeconds = 3600))
+        .select(col("conv_id"), col("session_seq"), col("first_turn"),
+          col("last_turn"), col("n_turns"),
+          Parse.eventTime(col("started_at")).as("started_at"),
+          Parse.eventTime(col("ended_at")).as("ended_at")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -247,6 +258,34 @@ object TranscriptPack extends QueryPack {
          CAST(SUM(CASE WHEN kind IN ('insert','update','delete') AND NOT matched THEN 1 ELSE 0 END) AS BIGINT) AS dropped_unmapped,
          CAST(SUM(CASE WHEN matched AND txn_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_uncommitted,
          CAST(SUM(CASE WHEN matched AND txn_id IS NOT NULL THEN len(vals) ELSE 0 END) AS BIGINT) AS routable_physical_rows
-         FROM enriched""")
+         FROM enriched"""),
+
+    "x1_sessionize" -> withTurns(
+      s""", $duckSessionized
+          SELECT conv_id, turn_idx, session_seq,
+            conv_id || '#' || CAST(session_seq AS STRING) AS session_id
+          FROM sessionized"""),
+
+    "x2_session_bounds" -> withTurns(
+      s""", $duckSessionized
+          SELECT conv_id, session_seq,
+            min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+            CAST(count(*) AS BIGINT) AS n_turns,
+            strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS started_at,
+            strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS ended_at
+          FROM sessionized GROUP BY conv_id, session_seq""")
   )
+
+  /** Gap-based sessionization CTE (mirrors [[Sessionize.sessionize]] with
+    * gapSeconds = 3600): both engines FLOOR epoch seconds before
+    * differencing, so the gap comparison is exact integer math.
+    */
+  private val duckSessionized = """sessionized AS (
+    SELECT conv_id, turn_idx, ts,
+      CAST(SUM(CASE WHEN prev_s IS NULL OR sec - prev_s > 3600 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+            lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_s
+          FROM turns))"""
 }
