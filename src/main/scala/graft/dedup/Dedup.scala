@@ -157,6 +157,37 @@ object Dedup {
       .withColumn("is_dup", (col("hamming") <= maxHamming).cast("int"))
   }
 
+  /** Resolve verified duplicate PAIRS into per-document keeper assignments
+    * — the step that turns candidate generation into actual deduplication
+    * (emit rows where doc_id = keeper, drop the rest).
+    *
+    * Min-label propagation over the pair graph: every node starts as its
+    * own keeper; each iteration every node adopts the smallest keeper among
+    * itself and its neighbors' CURRENT keepers, so label information
+    * travels one hop per iteration (connected-components-lite). LSH-verified
+    * dup clusters are near-cliques, so tiny diameters; `iters` bounds the
+    * propagation for pathological chains (documented, not silent — a chain
+    * longer than `iters` hops resolves into several keepers).
+    *
+    * Each iteration costs one equi-join + one partial-aggregated groupBy on
+    * the EDGE list (both sides keyed by doc id) — the standard scalable
+    * iterative-CC shape, no driver-side graph.
+    */
+  def resolveKeepers(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+    var labels = edges.select(col("x")).distinct().withColumn("keeper", col("x"))
+    (1 to iters).foreach { _ =>
+      val viaNeighbor = edges
+        .join(labels.select(col("x").as("y"), col("keeper").as("nbr_keeper")), "y")
+        .groupBy("x").agg(min(col("nbr_keeper")).as("nk"))
+      labels = labels.join(viaNeighbor, Seq("x"), "left")
+        .select(col("x"),
+          least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
+    }
+    labels.select(col("x").as("doc_id"), col("keeper"))
+  }
+
   /** (doc_id, sh32): 32-bit SimHash over the token multiset — bit j is set
     * iff at least half of the tokens have bit j set in their 32-bit hash.
     * Token hashes are materialized once and shared by the 32 bit counters.

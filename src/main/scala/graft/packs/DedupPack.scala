@@ -59,7 +59,10 @@ object DedupPack extends QueryPack {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashCandidates(docs(s, dir))),
     // hot-bucket cap engaged (cap=2): the 100 TB guard, oracle-proven
     "dedup_minhash_pairs_capped" -> ((s, dir) =>
-      Dedup.minhashCandidates(docs(s, dir), maxBucket = 2))
+      Dedup.minhashCandidates(docs(s, dir), maxBucket = 2)),
+    // pair graph -> keeper per doc (the actual dedup decision)
+    "dedup_resolve" -> ((s, dir) =>
+      Dedup.resolveKeepers(Dedup.minhashCandidates(docs(s, dir))))
   )
 
   def oracleSql = Map(
@@ -104,6 +107,28 @@ object DedupPack extends QueryPack {
           FROM capped l JOIN capped r
             ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
                AND l.doc_id < r.doc_id""",
+
+    // 3 unrolled min-label propagation iterations over the pair graph,
+    // mirroring Dedup.resolveKeepers exactly (least + coalesce per step)
+    "dedup_resolve" -> {
+      def step(prev: String, next: String): String =
+        s"""$next AS (
+            SELECT l.x, least(l.keeper, coalesce(n.nk, l.keeper)) AS keeper
+            FROM $prev l LEFT JOIN (
+              SELECT e.x, min(p.keeper) AS nk
+              FROM edges e JOIN $prev p ON e.y = p.x GROUP BY e.x) n
+            ON l.x = n.x)"""
+      s"""$duckMinhashCtes,
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+                 AND l.doc_id < r.doc_id),
+          edges AS (SELECT a AS x, b AS y FROM cand
+                    UNION ALL SELECT b AS x, a AS y FROM cand),
+          l0 AS (SELECT DISTINCT x, x AS keeper FROM edges),
+          ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
+          SELECT x AS doc_id, keeper FROM l3"""
+    },
 
     // banded SimHash candidates: 4×8-bit bands, equi-join, exact hamming
     "dedup_simhash_pairs" ->
