@@ -63,6 +63,16 @@ class PlanSpec extends SparkSpec {
     assert(routed.count() == reference.count())
   }
 
+  test("sessionize composed with txn stamping shares the conv_id exchange (one shuffle)") {
+    val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
+    val composed = graft.operators.Sessionize.sessionize(
+      graft.operators.TxnStamp.stamp(parsed), gapSeconds = 3600)
+    val p = plan(composed)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"sessionize must reuse the stamping exchange, found $hashExchanges:\n$p")
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
