@@ -2,24 +2,38 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one bare JSON line on stdout + `bench.json` on disk.
+/** Benchmark main — one bare COMPACT JSON line on stdout + the full-detail
+  * `bench.json` on disk.
+  *
+  * The stdout line stays under ~1.8 KB BY CONSTRUCTION (BenchSpec pins it):
+  * the round driver keeps only a 2 KB tail of the run output (with ~100 B
+  * of sbt epilogue after the line), and rounds 1–2 both shipped
+  * `parsed: null` because detail fields (per-sample arrays, protocol prose)
+  * pushed the line past the window. Everything the driver grades —
+  * per-query seconds, turns/sec, scaling efficiency per pair — is on
+  * stdout; per-sample host accounting and the protocol description live
+  * only in `bench.json`.
   *
   * Two measurements:
   *  1. `queries`: per-query wall time of every SparkEntry query on
   *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (driver contract).
-  *     Failures are recorded as sec=-1 plus `query_errors` (r01 swallowed
-  *     them silently).
+  *     Failures are recorded as sec=-1 plus `query_errors`. This pass runs
+  *     FIRST, in a fresh parent JVM — r02 ran it after the three scaling
+  *     children and regressed 2–3× across unrelated queries (see
+  *     BASELINE.md §regression).
   *  2. `scaling`: the north-rule evidence — the full parse→enrich→route→
   *     aggregate pipeline over an identical synthetic transcript table
   *     (deterministic, spark.range-generated, 2% hot-conversation skew)
-  *     run at local[N] and local[4N]; reports turns/sec at both and
-  *     efficiency = (tput_4N / tput_N) / 4. Criterion ≥ 0.8
-  *     (BASELINE.json north_rule).
+  *     run at 2/8/32 cores; efficiency = (tput_4N / tput_N) / 4 per N→4N
+  *     pair. Criterion ≥ 0.8 (BASELINE.json north_rule) is graded on the
+  *     2→8 pair (`criterion` field says so explicitly); 8→32 additionally
+  *     runs at SPARK_GRAFT_BENCH_BIG_TURNS (default 4×) to separate
+  *     fixed-overhead amortization from the documented single-socket
+  *     memory-bandwidth ceiling (VERDICT r02 #2).
   *
-  * Measurement discipline (r01 shipped an 0.039 artifact unexamined —
-  * VERDICT r01 #1):
+  * Measurement discipline (r01 shipped an 0.039 artifact unexamined):
   *  - each scaling point runs in a FRESH JVM ([[BenchChild]]), warmed up
-  *    with a FULL-SIZE run, timing the second run;
+  *    with a FULL-SIZE run, timing the min of two subsequent runs;
   *  - the JVM is CPU-PINNED to exactly its core budget (`taskset -c`) so
   *    GC/JIT/shuffle threads cannot leak parallelism beyond "N cores" —
   *    the honest emulation of an N-core cluster;
@@ -30,12 +44,12 @@ import org.apache.spark.sql.SparkSession
   *    samples with steal > [[StealTolerancePct]] are interference, get
   *    retried (bounded), and are excluded from the minimum when any clean
   *    sample exists;
-  *  - reps are interleaved (N,4N,N,4N…) so slow host phases hit both
-  *    levels symmetrically; the per-level MIN of clean samples is the
-  *    capability estimate;
-  *  - plausibility gate: if the result implies efficiency < 0.3 or
-  *    sec_4N > sec_N, one extra interleaved round runs before emitting —
-  *    all samples are reported either way.
+  *  - per point, adaptive resampling until the best two clean samples agree
+  *    within 8%; the per-level MIN of clean samples is the capability
+  *    estimate;
+  *  - plausibility gate: if the primary pair implies efficiency < 0.5 or
+  *    sec_4N > sec_N, one extra round runs on both points before emitting —
+  *    all samples are reported (in bench.json) either way.
   */
 object Bench {
 
@@ -49,6 +63,7 @@ object Bench {
   }
 
   private def r3(x: Double) = math.rint(x * 1000) / 1000
+  private def r2(x: Double) = math.rint(x * 100) / 100
 
   /** Heap = fixed driver share + per-core executor share (2 g + 0.8125
     * g/core, = 28 g at 32 cores, the CompressedOops ceiling). A real
@@ -102,79 +117,62 @@ object Bench {
     }.getOrElse(sys.error(s"bench child failed:\n${out.takeRight(30).mkString("\n")}"))
   }
 
+  /** Adaptive sampler for one (cpus, turns) point: a point is DONE when its
+    * two best clean samples agree within 8% (a capability estimate, not a
+    * lucky draw) — up to `maxJvms` fresh JVMs. A single pair of samples
+    * repeatedly measured 15-20% apart under ambient host noise that stays
+    * below any reasonable steal threshold; convergence is the only
+    * reliable signal.
+    */
+  private class Sampler(parts: Int, reps: Int) {
+    val samples = scala.collection.mutable.Map[(Int, Long), List[Sample]]()
+      .withDefaultValue(Nil)
+    private val maxJvms = math.max(reps + 2, 4)
+    private def converged(c: Int, t: Long): Boolean = {
+      val clean = samples((c, t)).filter(_.clean).map(_.sec).sorted
+      clean.length >= 2 && clean(1) / clean(0) <= 1.08
+    }
+    def sample(c: Int, t: Long): Unit = {
+      var jvms = 0
+      while (jvms < reps || (!converged(c, t) && jvms < maxJvms)) {
+        samples((c, t)) = samples((c, t)) :+ childRun(c, t, parts)
+        jvms += 1
+      }
+    }
+    def extra(c: Int, t: Long): Unit =
+      samples((c, t)) = samples((c, t)) :+ childRun(c, t, parts)
+    def best(c: Int, t: Long): Double = {
+      val ss = samples((c, t))
+      val clean = ss.filter(_.clean)
+      (if (clean.nonEmpty) clean else ss).map(_.sec).min
+    }
+    def eff(n: Int, n4: Int, t: Long): Double =
+      r3((best(n, t) / best(n4, t)) / (n4.toDouble / n))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    // the 8→32 pair re-measured at 4× input: ≥20 s wall at 32 cores, so
+    // per-job fixed overhead (scheduler, stage barriers, JIT residue) is
+    // amortized and what remains is the genuine hardware ceiling. 0 = skip.
+    val bigTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_BIG_TURNS",
+      (benchTurns * 4).toString).toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     // constant across all cluster sizes; 8× the top core count measured
-    // best (finer tasks hide stragglers at 32 cores, no cost at 8)
+    // best for the synthetic-pipeline children (finer tasks hide stragglers
+    // at 32 cores, no cost at 8)
     val shufflePartitions = cpus * 8
 
-    // Three cluster sizes → two N→4N pairs sharing the middle point:
-    // (2→8) and (8→32) on a 32-core host. The 2→8 pair is the primary
-    // north-rule evidence; the 8→32 pair hits this single-socket host's
-    // memory-bandwidth ceiling (measured: a register-only CPU burn scales
-    // 8→32 at 0.94-0.97 efficiency, the shuffle-heavy pipeline's per-core
-    // task time inflates ~1.4× instead — real 4N-node clusters add
-    // bandwidth with every node, one socket does not) and is reported
-    // with per-sample host accounting as the documented ceiling.
-    val points = List(math.max(1, cpus / 16), math.max(1, cpus / 4), cpus)
-    val samples = scala.collection.mutable.Map[Int, List[Sample]]()
-      .withDefaultValue(Nil)
-
-    // Adaptive sampling: a point is DONE when its two best clean samples
-    // agree within 8% (a capability estimate, not a lucky draw) — up to
-    // `maxJvms` fresh JVMs per point. A single pair of samples repeatedly
-    // measured 15-20% apart under ambient host noise that stays below any
-    // reasonable steal threshold; convergence is the only reliable signal.
-    val maxJvms = math.max(reps + 2, 4)
-    def converged(c: Int): Boolean = {
-      val clean = samples(c).filter(_.clean).map(_.sec).sorted
-      clean.length >= 2 && clean(1) / clean(0) <= 1.08
-    }
-    def samplePoint(c: Int): Unit = {
-      var jvms = 0
-      while (jvms < reps || (!converged(c) && jvms < maxJvms)) {
-        samples(c) = samples(c) :+ childRun(c, benchTurns, shufflePartitions)
-        jvms += 1
-      }
-    }
-    points.foreach(samplePoint)
-
-    def best(c: Int): Double = {
-      val ss = samples(c)
-      val clean = ss.filter(_.clean)
-      (if (clean.nonEmpty) clean else ss).map(_.sec).min
-    }
-    def pairEff(n: Int, n4: Int): Double =
-      r3((best(n) / best(n4)) / (n4.toDouble / n))
-    // Plausibility gate (r01: 0.039 shipped unexamined): extra samples on
-    // the pair's two points before emitting an implausible number.
-    if (pairEff(points(0), points(1)) < 0.5 ||
-        best(points(1)) > best(points(0))) {
-      samples(points(0)) = samples(points(0)) :+
-        childRun(points(0), benchTurns, shufflePartitions)
-      samples(points(1)) = samples(points(1)) :+
-        childRun(points(1), benchTurns, shufflePartitions)
-    }
-
-    val (nSmall, nMid) = (points(0), points(1))
-    val secN = best(nSmall)
-    val sec4N = best(nMid)
-    val tputN = benchTurns / secN
-    val tput4N = benchTurns / sec4N
-    val efficiency = pairEff(nSmall, nMid)
-    def pairJson(n: Int, n4: Int): String =
-      s"""{"cpus_n":$n,"cpus_4n":$n4,"sec_n":${r3(best(n))},"sec_4n":${r3(best(n4))},""" +
-      s""""turns_per_sec_n":${(benchTurns / best(n)).round},"turns_per_sec_4n":${(benchTurns / best(n4)).round},""" +
-      s""""efficiency":${pairEff(n, n4)}}"""
-
-    // --- per-query timings at local[cpus] on the sf dir ---
+    // ---- 1. per-query timings FIRST (fresh JVM, no child-run residue) ----
+    // cpus*4 partitions: the r02 run used cpus*8 AND ran after the scaling
+    // children; together that doubled most small-query times (bisect in
+    // BASELINE.md §regression). The sf-scale queries want coarser tasks.
     val s4N = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
@@ -194,29 +192,91 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    s4N.stop()
+    val total = results.map(_._2).filter(_ >= 0).sum
+
+    // ---- 2. scaling: three points → pairs (2→8) and (8→32) ----
+    // The 2→8 pair is the primary north-rule evidence; the 8→32 pair hits
+    // this single-socket host's memory-bandwidth ceiling (measured: a
+    // register-only CPU burn scales 8→32 at 0.94-0.97 efficiency, the
+    // shuffle-heavy pipeline's per-core task time inflates ~1.4× — real
+    // 4N-node clusters add bandwidth with every node, one socket does not)
+    // and is reported with per-sample host accounting as the documented
+    // ceiling, re-measured at 4× input to rule out fixed overhead.
+    val points = List(math.max(1, cpus / 16), math.max(1, cpus / 4), cpus)
+    val sampler = new Sampler(shufflePartitions, reps)
+    points.foreach(c => sampler.sample(c, benchTurns))
+    // Plausibility gate on the primary pair before emitting.
+    if (sampler.eff(points(0), points(1), benchTurns) < 0.5 ||
+        sampler.best(points(1), benchTurns) > sampler.best(points(0), benchTurns)) {
+      sampler.extra(points(0), benchTurns)
+      sampler.extra(points(1), benchTurns)
+    }
+    // ---- 3. the big-input 8→32 pair (VERDICT r02 #2) ----
+    val bigPair = if (bigTurns > 0) {
+      sampler.sample(points(1), bigTurns)
+      sampler.sample(points(2), bigTurns)
+      Some((points(1), points(2), bigTurns))
+    } else None
+
+    // ---- 4. emit: compact line on stdout, full detail in bench.json ----
+    val (nSmall, nMid) = (points(0), points(1))
+    val secN = sampler.best(nSmall, benchTurns)
+    val sec4N = sampler.best(nMid, benchTurns)
+    val efficiency = sampler.eff(nSmall, nMid, benchTurns)
+
+    def pairCompact(n: Int, n4: Int, t: Long): String =
+      s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"sec_n":${r2(sampler.best(n, t))},""" +
+      s""""sec_4n":${r2(sampler.best(n4, t))},"efficiency":${sampler.eff(n, n4, t)}}"""
+    def pairFull(n: Int, n4: Int, t: Long): String =
+      s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"sec_n":${r3(sampler.best(n, t))},"sec_4n":${r3(sampler.best(n4, t))},""" +
+      s""""turns_per_sec_n":${(t / sampler.best(n, t)).round},"turns_per_sec_4n":${(t / sampler.best(n4, t)).round},""" +
+      s""""efficiency":${sampler.eff(n, n4, t)}}"""
+
+    val allPairs: List[(Int, Int, Long)] =
+      List((points(0), points(1), benchTurns), (points(1), points(2), benchTurns)) ++
+        bigPair.toList
+
+    def qsJson(prec: Double => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + prec(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val sampleJson = points.map(c =>
-      s""""samples_$c":${samples(c).map(_.json).mkString("[", ",", "]")}""").mkString(",")
-    val scaling =
-      s"""{"cpus_n":$nSmall,"cpus_4n":$nMid,"turns":$benchTurns,""" +
-      s""""sec_n":${r3(secN)},"sec_4n":${r3(sec4N)},""" +
-      s""""turns_per_sec_n":${tputN.round},"turns_per_sec_4n":${tput4N.round},""" +
+
+    val scalingCompact =
+      s"""{"criterion":"(tput_4N/tput_N)/4 on the ${nSmall}->${nMid}-core pair; 8->32 reported as the documented single-socket bandwidth ceiling",""" +
+      s""""turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+      s""""turns_per_sec_n":${(benchTurns / secN).round},"turns_per_sec_4n":${(benchTurns / sec4N).round},""" +
       s""""efficiency":$efficiency,""" +
-      s""""pairs":[${pairJson(points(0), points(1))},${pairJson(points(1), points(2))}],""" +
-      s"""$sampleJson,""" +
-      s""""protocol":"fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops), steal>${StealTolerancePct}% discarded, adaptive resampling until best two clean samples agree within 8%, min of clean samples; pair 8->32 documents the single-socket memory-bandwidth ceiling (BASELINE.md)"}"""
+      s""""pairs":[${allPairs.map(p => pairCompact(p._1, p._2, p._3)).mkString(",")}]}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qsJson(r2)},""" +
       s""""query_errors":$errJson,"sf":"$sfDir",""" +
-      s""""pipeline_turns_per_sec":${(benchTurns / best(points(2))).round},"scaling":$scaling}"""
-    println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+      s""""pipeline_turns_per_sec":${(benchTurns / sampler.best(points(2), benchTurns)).round},"scaling":$scalingCompact}"""
+
+    val sampleJson = sampler.samples.toSeq.sortBy { case ((c, t), _) => (t, c) }
+      .map { case ((c, t), ss) =>
+        s""""samples_${c}c_${t}t":${ss.map(_.json).mkString("[", ",", "]")}"""
+      }.mkString(",")
+    val scalingFull =
+      s"""{"criterion":"(tput_4N/tput_N)/4 on the ${nSmall}->${nMid}-core pair","turns":$benchTurns,""" +
+      s""""sec_n":${r3(secN)},"sec_4n":${r3(sec4N)},""" +
+      s""""turns_per_sec_n":${(benchTurns / secN).round},"turns_per_sec_4n":${(benchTurns / sec4N).round},""" +
+      s""""efficiency":$efficiency,""" +
+      s""""pairs":[${allPairs.map(p => pairFull(p._1, p._2, p._3)).mkString(",")}],""" +
+      s"""$sampleJson,""" +
+      s""""protocol":"fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops), steal>${StealTolerancePct}% discarded, adaptive resampling until best two clean samples agree within 8%, min of clean samples; pair 8->32 documents the single-socket memory-bandwidth ceiling and re-runs at 4x input to amortize fixed overhead (BASELINE.md)"}"""
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(r3)},""" +
+      s""""query_errors":$errJson,"sf":"$sfDir",""" +
+      s""""pipeline_turns_per_sec":${(benchTurns / sampler.best(points(2), benchTurns)).round},"scaling":$scalingFull}"""
+
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case _: Throwable => () }
-    s4N.stop()
+    // Last line of stdout, nothing after it; must clear the driver's 2 KB
+    // tail window even with sbt's ~100 B epilogue following it.
+    println(if (line.length <= 1850) line
+      else line.patch(line.indexOf(""","scaling":"""),
+        s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}""", line.length))
   }
 }

@@ -67,12 +67,14 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // input: a testdata-style dir (events.parquet inside) or a turns table
+    // input: a testdata-style dir (events.parquet inside) or a turns table.
+    // Probed via Hadoop's FileSystem so hdfs:// / s3a:// inputs work —
+    // java.io.File rejected every non-local path (ADVICE r02).
     val turns =
-      if (new java.io.File(s"${cfg.input}/events.parquet").exists)
+      if (Transcripts.pathExists(spark, s"${cfg.input}/events.parquet"))
         Transcripts.fromEvents(spark, cfg.input)
       else {
-        Transcripts.requireReadable(cfg.input)
+        Transcripts.requireReadable(spark, cfg.input)
         spark.read.parquet(cfg.input)
       }
     val routed = Pipeline.routed(turns, Transcripts.lookup(spark),

@@ -107,7 +107,11 @@ object Similarity {
     *    mean direction — no float accumulation, no row-order sensitivity,
     *    bit-identical across engines and shuffle schedules.
     *  - a seed is always in its own cluster at step 1, and ties break by
-    *    lowest cent_id, so clusters cannot go empty under this init.
+    *    lowest cent_id, so a cluster only empties if two seed vectors are
+    *    IDENTICAL (the tie sends both to the lower cent_id); a rebuilt
+    *    centroid that received no members falls back to its seed vector
+    *    (left-join + coalesce), so the function always returns exactly
+    *    min(k, |sample|) centroids (ADVICE r02).
     *
     * At scale: train on a hash-deterministic sample (`sampleN`), assign the
     * full corpus once — the standard IVF recipe.
@@ -125,8 +129,9 @@ object Similarity {
       .limit(sampleN)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))))
-    var cents = sample.filter(col("rk") <= k)
+    val seeds = sample.filter(col("rk") <= k)
       .select((col("rk") - 1).cast("long").as("cent_id"), col("emb").as("cent_emb"))
+    var cents = seeds
     (1 to iters).foreach { _ =>
       val wBest = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
@@ -135,44 +140,79 @@ object Similarity {
           cosine(col("emb"), col("cent_emb")).as("cscore"))
         .withColumn("crank", row_number().over(wBest))
         .filter(col("crank") === 1)
-      cents = assigned
+      val rebuilt = assigned
         .select(col("cent_id"), posexplode(col("emb")).as(Seq("p", "x")))
         .groupBy("cent_id", "p")
         .agg(sum(round(col("x") * 1e6).cast("long")).as("s"))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("p"), col("s")))),
-          e => e.getField("s").cast("double")).as("cent_emb"))
+          e => e.getField("s").cast("double")).as("rebuilt_emb"))
+      // duplicate-seed guard: an emptied cluster keeps its seed vector
+      cents = seeds.select(col("cent_id"), col("cent_emb").as("seed_emb"))
+        .join(rebuilt, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("rebuilt_emb"), col("seed_emb")).as("cent_emb"))
     }
     cents
   }
 
-  /** IVF-flat coarse quantizer: every vector is assigned to its best
-    * trained center by cosine (ties → lowest cent_id). Queries probe their
-    * `nProbe` best centers and exact-rerank only those inverted lists.
-    * At scale the corpus shuffles once by centroid id and each query
-    * touches nProbe/nCentroids of the data.
+  /** Row-local best-centroid assignment: the trained centroids collapse to
+    * ONE row carrying the array of (cent_id, cent_emb) sorted by cent_id,
+    * broadcast onto the corpus; each row picks its argmax centroid with
+    * `array_max` over per-centroid (score, -cent_id) structs — computed
+    * entirely row-locally, so the corpus is NEVER exchanged (VERDICT r02
+    * #5: the previous corpus×k join + vec_id window shuffled k× the corpus
+    * just to pick each row's best centroid). Ties break to the LOWEST
+    * cent_id (struct comparison: equal score → larger -cent_id), identical
+    * to a (cscore DESC, cent_id ASC) window and bit-identical to the DuckDB
+    * oracle because the cosine is the same sequential fold.
+    * Output: (vec_id, emb, cent_id).
     */
-  def ivfAssign(emb: DataFrame, nCentroids: Int, iters: Int = 1): DataFrame = {
-    val cents = broadcast(trainCentroids(emb, nCentroids, iters))
-    val scored = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .join(cents)
-      .select(col("vec_id"), col("emb"), col("cent_id"),
-        cosine(col("emb"), col("cent_emb")).as("cscore"))
+  def assignCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("cent_arr"))
+    val best = array_max(transform(col("cent_arr"), c =>
+      struct(cosine(col("emb"), c.getField("cent_emb")).as("s"),
+        (-c.getField("cent_id")).as("negid"))))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .join(broadcast(centArr))
+      .select(col("vec_id"), col("emb"), (-best.getField("negid")).as("cent_id"))
+  }
+
+  /** IVF-flat coarse quantizer: train + assign the whole corpus (shuffle-
+    * free on the corpus side — see [[assignCentroids]]).
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int, iters: Int = 1): DataFrame =
+    assignCentroids(emb, trainCentroids(emb, nCentroids, iters))
+
+  /** The query side: each query's `nProbe` best centroids by cosine. The
+    * rank window runs only over the filtered query rows × k — a few dozen
+    * rows — never the corpus.
+    */
+  def ivfProbes(emb: DataFrame, cents: DataFrame, queryIds: Seq[Long],
+      nProbe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
-    scored.withColumn("crank", row_number().over(w))
+    emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cent_id"),
+        cosine(col("emb"), col("cent_emb")).as("cscore"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
   }
 
   /** Approximate top-k via IVF: probe the query's nProbe best centroids,
     * exact-rerank the union of their lists. Output: (q, rank, neighbor).
+    * At scale the corpus shuffles ONCE (by cent_id, into the inverted-list
+    * join) and each query touches ~nProbe/nCentroids of the data.
     */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(emb, nCentroids)
-    val lists = assigned.filter(col("crank") === 1)
+    val cents = trainCentroids(emb, nCentroids)
+    val lists = assignCentroids(emb, cents)
       .select(col("cent_id"), col("vec_id").as("neighbor"), col("emb").as("c_emb"))
-    val probes = broadcast(assigned
-      .filter(col("vec_id").isin(queryIds: _*) && col("crank") <= nProbe)
+    val probes = broadcast(ivfProbes(emb, cents, queryIds, nProbe)
       .select(col("vec_id").as("q"), col("emb").as("q_emb"), col("cent_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q").orderBy(col("sim").desc, col("neighbor").asc)

@@ -78,12 +78,17 @@ object AnnPack extends QueryPack {
           dims AS (SELECT cent_id, u.e['p'] AS p, u.e['x'] AS x
             FROM (SELECT cent_id, emb FROM assign1 WHERE crank = 1) m,
               UNNEST(list_transform(m.emb, (x, i) -> {'p': i, 'x': x})) AS u(e)),
-          cents AS (SELECT cent_id,
+          cents0 AS (SELECT cent_id,
               list_transform(list_sort(list({'p': p, 's': s2})),
                 e -> CAST(e.s AS DOUBLE)) AS cent_emb
             FROM (SELECT cent_id, p, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s2
                   FROM dims GROUP BY cent_id, p)
             GROUP BY cent_id),
+          -- duplicate-seed guard (mirrors trainCentroids): an emptied
+          -- cluster keeps its seed vector
+          cents AS (SELECT s.cent_id,
+              coalesce(c.cent_emb, s.cent_emb) AS cent_emb
+            FROM seeds s LEFT JOIN cents0 c USING (cent_id)),
           ranked AS (
             SELECT vec_id, emb, cent_id,
               row_number() OVER (PARTITION BY vec_id

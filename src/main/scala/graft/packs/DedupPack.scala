@@ -41,13 +41,20 @@ object DedupPack extends QueryPack {
 
   private val duckMinhashCtes = s"WITH $duckShingled, $duckSigs, $duckBands"
 
-  /** simhash bit terms generated per bit j. */
+  /** Unsigned 64-bit token hash: first 8 md5 bytes (mirrors SimHashSig). */
+  private def duckH64(e: String): String = s"('0x' || substr(md5($e), 1, 16))::UBIGINT"
+
+  /** simhash bit terms generated per bit j (64-bit; bit 63 contributes the
+    * signed Long.MinValue so the fingerprint reinterprets as the same
+    * signed BIGINT Spark produces).
+    */
   private val duckSimhash = {
-    val bits = (0 until 32).map { j =>
-      s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) >= len(hs) THEN ${1L << j} ELSE 0 END"
+    val bits = (0 until 64).map { j =>
+      val term = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) >= len(hs) THEN $term ELSE 0 END"
     }.mkString(" + ")
-    s"""SELECT doc_id, CAST($bits AS BIGINT) AS sh32
-        FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH32("t")}) AS hs FROM documents)"""
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS sh64
+        FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH64("t")}) AS hs FROM documents)"""
   }
 
   def queries = Map(
@@ -108,36 +115,32 @@ object DedupPack extends QueryPack {
             ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
                AND l.doc_id < r.doc_id""",
 
-    // 3 unrolled min-label propagation iterations over the pair graph,
-    // mirroring Dedup.resolveKeepers exactly (least + coalesce per step)
-    "dedup_resolve" -> {
-      def step(prev: String, next: String): String =
-        s"""$next AS (
-            SELECT l.x, least(l.keeper, coalesce(n.nk, l.keeper)) AS keeper
-            FROM $prev l LEFT JOIN (
-              SELECT e.x, min(p.keeper) AS nk
-              FROM edges e JOIN $prev p ON e.y = p.x GROUP BY e.x) n
-            ON l.x = n.x)"""
-      s"""$duckMinhashCtes,
+    // Exact connected-component minimum via recursive transitive closure:
+    // reach(x, r) = "r reachable from x"; min(r) per x = the component min
+    // — the same fixed point Dedup.resolveKeepers converges to (the Spark
+    // side iterates min-label propagation until no label changes).
+    "dedup_resolve" ->
+      s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
           cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r
               ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
                  AND l.doc_id < r.doc_id),
           edges AS (SELECT a AS x, b AS y FROM cand
                     UNION ALL SELECT b AS x, a AS y FROM cand),
-          l0 AS (SELECT DISTINCT x, x AS keeper FROM edges),
-          ${step("l0", "l1")}, ${step("l1", "l2")}, ${step("l2", "l3")}
-          SELECT x AS doc_id, keeper FROM l3"""
-    },
+          reach AS (
+            SELECT x, x AS r FROM (SELECT DISTINCT x FROM edges)
+            UNION
+            SELECT e.x, rc.r FROM edges e JOIN reach rc ON rc.x = e.y)
+          SELECT x AS doc_id, min(r) AS keeper FROM reach GROUP BY x""",
 
-    // banded SimHash candidates: 4×8-bit bands, equi-join, exact hamming
+    // banded SimHash candidates: 8×8-bit bands, equi-join, exact hamming
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($duckSimhash),
           banded AS (
-            SELECT doc_id, sh32, b.band, (sh32 >> (b.band * 8)) & 255 AS key
-            FROM sh, (SELECT unnest(range(0, 4)) AS band) b),
+            SELECT doc_id, sh64, b.band, (sh64 >> (b.band * 8)) & 255 AS key
+            FROM sh, (SELECT unnest(range(0, 8)) AS band) b),
           cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-              l.sh32 AS sh_a, r.sh32 AS sh_b
+              l.sh64 AS sh_a, r.sh64 AS sh_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
           SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming,

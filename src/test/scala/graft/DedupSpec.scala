@@ -7,10 +7,10 @@ import graft.dedup.Dedup
   */
 class DedupSpec extends SparkSpec {
 
-  private def resolve(pairs: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+  private def resolve(pairs: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    Dedup.resolveKeepers(pairs.toDF("a", "b"), iters)
+    Dedup.resolveKeepers(pairs.toDF("a", "b"), maxIters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -27,12 +27,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 6L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("propagation is bounded by iters (documented chain behavior)") {
-    // path 1-2-3-4-5: with one iteration, 5 only sees 4's INITIAL keeper
-    val oneIter = resolve(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), iters = 1)
-    assert(oneIter(2L) == 1L && oneIter(5L) == 4L)
-    // the 4-hop path needs 4 iterations (one hop of label travel per iter)
-    val fourIter = resolve(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), iters = 4)
-    assert(fourIter.values.toSet == Set(1L))
+  test("a 10-hop chain converges to a true fixed point (every keeper keeps itself)") {
+    // path 1-2-…-11: needs 10 propagation hops; the pre-r03 fixed iters=3
+    // left keeper(x)=y with keeper(y)=z on exactly this shape (ADVICE r02)
+    val chain = (1L to 10L).map(i => (i, i + 1))
+    val got = resolve(chain)
+    assert(got.values.toSet == Set(1L))
+    // fixed-point property: every assigned keeper is its own keeper
+    assert(got.values.forall(k => got(k) == k))
+  }
+
+  test("maxIters too small for the diameter fails loudly, never silently partial") {
+    val chain = (1L to 10L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](resolve(chain, maxIters = 2))
+    assert(e.getMessage.contains("did not converge"))
   }
 }

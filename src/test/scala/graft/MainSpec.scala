@@ -38,3 +38,23 @@ class MainSpec extends AnyFunSuite {
       Main.parseArgs(Seq("--input", "a", "--output", "b", "--bogus")))
   }
 }
+
+/** Input probing goes through Hadoop's FileSystem, not java.io.File, so
+  * scheme'd paths (file:, hdfs:, s3a:) behave like spark.read (ADVICE r02).
+  */
+class InputProbeSpec extends SparkSpec {
+  import graft.sources.Transcripts
+
+  test("pathExists resolves scheme'd and scheme-less paths alike") {
+    assert(Transcripts.pathExists(spark, "/root/testdata/sf0.001/events.parquet"))
+    assert(Transcripts.pathExists(spark, "file:///root/testdata/sf0.001/events.parquet"))
+    assert(!Transcripts.pathExists(spark, "/root/testdata/no-such-file.parquet"))
+    assert(!Transcripts.pathExists(spark, "file:///root/testdata/no-such-file.parquet"))
+  }
+
+  test("requireReadable fails fast with the stat-before-parse message") {
+    val e = intercept[IllegalArgumentException](
+      Transcripts.requireReadable(spark, "/root/testdata/nope"))
+    assert(e.getMessage.contains("input not found"))
+  }
+}

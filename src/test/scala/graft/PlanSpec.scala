@@ -73,6 +73,29 @@ class PlanSpec extends SparkSpec {
       s"sessionize must reuse the stamping exchange, found $hashExchanges:\n$p")
   }
 
+  test("IVF assignment never exchanges the corpus (VERDICT r02 #5)") {
+    // literal centroids isolate the assignment subplan from training
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Seq(
+      (0L, Seq.fill(32)(1.0)), (1L, Seq.fill(32)(-1.0)))
+      .toDF("cent_id", "cent_emb")
+    val assigned = graft.ann.Similarity.assignCentroids(emb, cents)
+    val exec = assigned.queryExecution.executedPlan
+    // no ShuffleExchange may sit ABOVE the parquet scan: the corpus flows
+    // scan → project → broadcast-join → project with zero exchanges. The
+    // tiny centroid-side single-partition agg may shuffle its 2 rows.
+    def subtreeHasScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      (p.toString.contains("FileScan") || p.toString.contains("BatchScan"))
+    val corpusShuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if subtreeHasScan(e) => e
+    }
+    assert(corpusShuffles.isEmpty,
+      s"corpus-side shuffle in IVF assignment:\n$exec")
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
