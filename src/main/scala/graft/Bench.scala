@@ -41,23 +41,19 @@ import org.apache.spark.sql.SparkSession
   *    the aggregate memory; a fixed heap makes 4N spill while N sails),
   *    capped at 28g to keep CompressedOops;
   *  - each sample carries host-level steal/idle readings from /proc/stat;
-  *    samples with steal > [[StealTolerancePct]] are interference, get
-  *    retried (bounded), and are excluded from the minimum when any clean
-  *    sample exists;
-  *  - per point, adaptive resampling until the best two clean samples agree
-  *    within 8%; the per-level MIN of clean samples is the capability
-  *    estimate;
+  *    interference can only INFLATE a wall-clock sample, so the per-level
+  *    MIN over ALL samples is the capability estimate, and noise drives
+  *    resampling (not exclusion);
+  *  - per point, adaptive resampling until the best two samples agree
+  *    within 8% (bounded under persistent noise);
   *  - plausibility gate: if the primary pair implies efficiency < 0.5 or
   *    sec_4N > sec_N, one extra round runs on both points before emitting —
   *    all samples are reported (in bench.json) either way.
   */
 object Bench {
 
-  val StealTolerancePct = 3.0
-
   case class Sample(sec: Double, stealPct: Double, idlePct: Double,
       userCores: Double) {
-    def clean: Boolean = stealPct <= StealTolerancePct
     def json: String =
       s"""{"sec":${r3(sec)},"steal_pct":$stealPct,"idle_pct":$idlePct,"user_cores":$userCores}"""
   }
@@ -117,35 +113,40 @@ object Bench {
     }.getOrElse(sys.error(s"bench child failed:\n${out.takeRight(30).mkString("\n")}"))
   }
 
-  /** Adaptive sampler for one (cpus, turns) point: a point is DONE when its
-    * two best clean samples agree within 8% (a capability estimate, not a
-    * lucky draw) — up to `maxJvms` fresh JVMs. A single pair of samples
-    * repeatedly measured 15-20% apart under ambient host noise that stays
-    * below any reasonable steal threshold; convergence is the only
-    * reliable signal.
+  /** Adaptive sampler for one (cpus, turns) point.
+    *
+    * Estimator: the MIN over ALL samples. Co-tenant interference (steal,
+    * cgroup throttling) can only INFLATE a wall-clock sample — a pinned
+    * JVM cannot run faster than the hardware allows — so every sample is a
+    * valid upper bound on capability and excluding "dirty" samples from
+    * the min is wrong. (Round-3 lesson: a 3.3%-steal sample measured the
+    * true 13.3 s while "clean" low-steal samples were cgroup-throttled to
+    * 43-56 s with two-thirds of the pinned cores idle; the old
+    * clean-only min reported the 43 s artifact.)
+    *
+    * Steal/idle readings instead drive RESAMPLING: a point is DONE when
+    * its two best samples agree within 8% (a reproduced capability, not a
+    * lucky draw) — up to `hardMaxJvms` fresh JVMs under noise, `reps` in
+    * quiet conditions. All samples are emitted with their host readings.
     */
   private class Sampler(parts: Int, reps: Int) {
     val samples = scala.collection.mutable.Map[(Int, Long), List[Sample]]()
       .withDefaultValue(Nil)
-    private val maxJvms = math.max(reps + 2, 4)
+    private val hardMaxJvms = math.max(reps + 5, 7)
     private def converged(c: Int, t: Long): Boolean = {
-      val clean = samples((c, t)).filter(_.clean).map(_.sec).sorted
-      clean.length >= 2 && clean(1) / clean(0) <= 1.08
+      val secs = samples((c, t)).map(_.sec).sorted
+      secs.length >= 2 && secs(1) / secs(0) <= 1.08
     }
     def sample(c: Int, t: Long): Unit = {
       var jvms = 0
-      while (jvms < reps || (!converged(c, t) && jvms < maxJvms)) {
+      while (jvms < reps || (!converged(c, t) && jvms < hardMaxJvms)) {
         samples((c, t)) = samples((c, t)) :+ childRun(c, t, parts)
         jvms += 1
       }
     }
     def extra(c: Int, t: Long): Unit =
       samples((c, t)) = samples((c, t)) :+ childRun(c, t, parts)
-    def best(c: Int, t: Long): Double = {
-      val ss = samples((c, t))
-      val clean = ss.filter(_.clean)
-      (if (clean.nonEmpty) clean else ss).map(_.sec).min
-    }
+    def best(c: Int, t: Long): Double = samples((c, t)).map(_.sec).min
     def eff(n: Int, n4: Int, t: Long): Double =
       r3((best(n, t) / best(n4, t)) / (n4.toDouble / n))
   }
@@ -206,11 +207,19 @@ object Bench {
     val points = List(math.max(1, cpus / 16), math.max(1, cpus / 4), cpus)
     val sampler = new Sampler(shufflePartitions, reps)
     points.foreach(c => sampler.sample(c, benchTurns))
-    // Plausibility gate on the primary pair before emitting.
-    if (sampler.eff(points(0), points(1), benchTurns) < 0.5 ||
-        sampler.best(points(1), benchTurns) > sampler.best(points(0), benchTurns)) {
+    // Plausibility gate on the primary pair before emitting: efficiency
+    // below 0.5 OR above 1.02 is implausible for this pipeline — sub-0.5
+    // means the big point was starved, SUPERLINEAR means the small point
+    // was (measured: two equally-throttled 2-core samples "converged" at
+    // 41 s vs the 33 s quiet-host capability and reported eff 1.003).
+    // Either way the remedy is more windows on both points.
+    var gateRounds = 0
+    def primaryEff = sampler.eff(points(0), points(1), benchTurns)
+    while (gateRounds < 3 && (primaryEff < 0.5 || primaryEff > 1.02 ||
+        sampler.best(points(1), benchTurns) > sampler.best(points(0), benchTurns))) {
       sampler.extra(points(0), benchTurns)
       sampler.extra(points(1), benchTurns)
+      gateRounds += 1
     }
     // ---- 3. the big-input 8→32 pair (VERDICT r02 #2) ----
     val bigPair = if (bigTurns > 0) {
@@ -265,7 +274,7 @@ object Bench {
       s""""efficiency":$efficiency,""" +
       s""""pairs":[${allPairs.map(p => pairFull(p._1, p._2, p._3)).mkString(",")}],""" +
       s"""$sampleJson,""" +
-      s""""protocol":"fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops), steal>${StealTolerancePct}% discarded, adaptive resampling until best two clean samples agree within 8%, min of clean samples; pair 8->32 documents the single-socket memory-bandwidth ceiling and re-runs at 4x input to amortize fixed overhead (BASELINE.md)"}"""
+      s""""protocol":"fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops); estimator = min over ALL samples (interference only inflates wall time, so every sample upper-bounds capability); adaptive resampling until best two samples agree within 8%, bounded under noise, per-sample /proc/stat steal+idle emitted; pair 8->32 documents the single-socket memory-bandwidth ceiling and re-runs at 4x input to amortize fixed overhead (BASELINE.md)"}"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(r3)},""" +
       s""""query_errors":$errJson,"sf":"$sfDir",""" +

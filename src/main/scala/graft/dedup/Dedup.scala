@@ -200,13 +200,15 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("x").as("y"), col("keeper").as("nbr_keeper")), "y")
         .groupBy("x").agg(min(col("nbr_keeper")).as("nk"))
-      val next = labels.join(viaNeighbor, Seq("x"), "left")
-        .select(col("x"),
+      // carry the previous label through the same projection so the
+      // convergence check is a filter over the checkpointed result, not a
+      // second labels×labels join per iteration
+      val joined = labels.join(viaNeighbor, Seq("x"), "left")
+        .select(col("x"), col("keeper").as("prev"),
           least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("keeper", "prev"), Seq("x"))
-        .filter(col("keeper") =!= col("prev")).isEmpty
-      labels = next
+      converged = joined.filter(col("keeper") =!= col("prev")).isEmpty
+      labels = joined.select(col("x"), col("keeper"))
       it += 1
     }
     require(converged, s"resolveKeepers did not converge in $maxIters iterations")

@@ -216,7 +216,12 @@ object TranscriptPack extends QueryPack {
     // Streaming semantics differ from the batch window exactly where the
     // reference's do at EOF: row events with no following commit stay
     // buffered (never emitted), queries/noise pass through with txn 0.
-    "g2_txn_stamp_streaming" -> ((s, dir) => {
+    "g2_txn_stamp_streaming" -> ((s0, dir) => {
+      // isolated session clone: the stateful shuffle's partition count =
+      // state-store count; the parent's analytics sizing (cpus*4) pays
+      // ~100ms of store init PER PARTITION for a replay this small
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val batch = turns(s, dir)
