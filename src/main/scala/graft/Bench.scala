@@ -132,7 +132,10 @@ object Bench {
   private class Sampler(parts: Int, reps: Int) {
     val samples = scala.collection.mutable.Map[(Int, Long), List[Sample]]()
       .withDefaultValue(Nil)
-    private val hardMaxJvms = math.max(reps + 5, 7)
+    // bounded so a persistently-noisy host cannot stretch one bench run
+    // past the round budget: 5 JVMs/point worst case ≈ 2× the quiet-host
+    // wall time, and min-over-all still lands on any good window caught
+    private val hardMaxJvms = math.max(reps + 3, 5)
     private def converged(c: Int, t: Long): Boolean = {
       val secs = samples((c, t)).map(_.sec).sorted
       secs.length >= 2 && secs(1) / secs(0) <= 1.08
