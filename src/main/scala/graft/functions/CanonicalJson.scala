@@ -69,12 +69,18 @@ object CanonicalJson {
        |$indent}""".stripMargin
   }
 
-  /** One full message document (no trailing newline). */
+  /** One full message document (no trailing newline). `newNotice` is
+    * NewData's OWN mismatch notice (the reference runs detectMismatch per
+    * physical row, `row_data.go:15`); null falls back to `notice` for
+    * pre-round-4 call sites where both sides match the same field list.
+    */
   def render(
       role: String, tool: String, eventTime: String, position: Long, txnId: Long,
       eventType: String,
       rowEntries: Seq[(String, String)], oldEntries: Seq[(String, String)],
-      newEntries: Seq[(String, String)], notice: String, query: String): String = {
+      newEntries: Seq[(String, String)], notice: String, query: String,
+      newNotice: String = null): String = {
+    val newN = if (newNotice == null) notice else newNotice
     val header =
       s"""    "Header": {
          |        "Schema": "${escape(role)}",
@@ -89,7 +95,7 @@ object CanonicalJson {
         s"""    "Query": ${"\"" + escape(query) + "\""}"""
       case "Update" =>
         s"""    "OldData": ${renderRowData(oldEntries, notice, "    ")},
-           |    "NewData": ${renderRowData(newEntries, notice, "    ")}""".stripMargin
+           |    "NewData": ${renderRowData(newEntries, newN, "    ")}""".stripMargin
       case _ =>
         s"""    "Data": ${renderRowData(rowEntries, notice, "    ")}"""
     }
@@ -113,12 +119,16 @@ object CanonicalJson {
     s"""{"Row":$rowBody,"MappingNotice":"${escape(notice)}"}"""
   }
 
-  /** One full message document, compact (`json.Marshal`) mode. */
+  /** One full message document, compact (`json.Marshal`) mode. `newNotice`
+    * as in [[render]].
+    */
   def renderCompact(
       role: String, tool: String, eventTime: String, position: Long, txnId: Long,
       eventType: String,
       rowEntries: Seq[(String, String)], oldEntries: Seq[(String, String)],
-      newEntries: Seq[(String, String)], notice: String, query: String): String = {
+      newEntries: Seq[(String, String)], notice: String, query: String,
+      newNotice: String = null): String = {
+    val newN = if (newNotice == null) notice else newNotice
     val header =
       s""""Header":{"Schema":"${escape(role)}","Table":"${escape(tool)}",""" +
       s""""BinlogMessageTime":"${escape(eventTime)}","BinlogPosition":$position,"XId":$txnId}""" +
@@ -127,7 +137,7 @@ object CanonicalJson {
       case "Query" => s""""Query":"${escape(query)}""""
       case "Update" =>
         s""""OldData":${renderRowDataCompact(oldEntries, notice)},""" +
-        s""""NewData":${renderRowDataCompact(newEntries, notice)}"""
+        s""""NewData":${renderRowDataCompact(newEntries, newN)}"""
       case _ => s""""Data":${renderRowDataCompact(rowEntries, notice)}"""
     }
     s"{$header,$payload}"
@@ -191,11 +201,12 @@ object CanonicalJson {
       lit(",\"XId\":"), col("txn_id").cast("string"),
       lit("},\"Type\":\""), col("event_type"), lit("\""))
     val notice = coalesce(col("mapping_notice"), lit(""))
+    val newNotice = coalesce(col("new_mapping_notice"), col("mapping_notice"), lit(""))
     val payload = when(col("event_type") === "Query",
         concat(lit("\"Query\":\""), escCol(col("query")), lit("\"")))
       .when(col("event_type") === "Update",
         concat(lit("\"OldData\":"), rowDataColCompact(col("old_entries"), notice),
-          lit(",\"NewData\":"), rowDataColCompact(col("new_entries"), notice)))
+          lit(",\"NewData\":"), rowDataColCompact(col("new_entries"), newNotice)))
       .otherwise(concat(lit("\"Data\":"), rowDataColCompact(col("row_entries"), notice)))
     concat(lit("{"), header, lit(","), payload, lit("}"))
   }
@@ -212,11 +223,12 @@ object CanonicalJson {
       lit(",\n        \"XId\": "), col("txn_id").cast("string"),
       lit("\n    },\n    \"Type\": \""), col("event_type"), lit("\""))
     val notice = coalesce(col("mapping_notice"), lit(""))
+    val newNotice = coalesce(col("new_mapping_notice"), col("mapping_notice"), lit(""))
     val payload = when(col("event_type") === "Query",
         concat(lit("    \"Query\": \""), escCol(col("query")), lit("\"")))
       .when(col("event_type") === "Update",
         concat(lit("    \"OldData\": "), rowDataCol(col("old_entries"), notice, "    "),
-          lit(",\n    \"NewData\": "), rowDataCol(col("new_entries"), notice, "    ")))
+          lit(",\n    \"NewData\": "), rowDataCol(col("new_entries"), newNotice, "    ")))
       .otherwise(concat(lit("    \"Data\": "), rowDataCol(col("row_entries"), notice, "    ")))
     concat(lit("{\n"), header, lit(",\n"), payload, lit("\n}"))
   }
@@ -234,15 +246,20 @@ object CanonicalJson {
       if (raw == null) Nil else raw.map(e => (e.getString(0), e.getString(1))).toSeq
     }
     val renderer = if (pretty) render _ else renderCompact _
+    val hasNewNotice = routed.columns.contains("new_mapping_notice")
     routed.map { r =>
+      val notice = Option(r.getAs[String]("mapping_notice")).getOrElse("")
       renderer(
         r.getAs[String]("role"), r.getAs[String]("tool"),
         r.getAs[String]("event_time"), r.getAs[Long]("position"),
         r.getAs[Long]("txn_id"), r.getAs[String]("event_type"),
         entries(r, "row_entries"), entries(r, "old_entries"),
         entries(r, "new_entries"),
-        Option(r.getAs[String]("mapping_notice")).getOrElse(""),
-        r.getAs[String]("query"))
+        notice,
+        r.getAs[String]("query"),
+        if (hasNewNotice)
+          Option(r.getAs[String]("new_mapping_notice")).getOrElse(notice)
+        else notice)
     }
   }
 

@@ -43,6 +43,10 @@ case class CosineSim(left: Expression, right: Expression)
     var dbb = 0.0
     var i = 0
     while (i < n) {
+      // a null element propagates to a null cosine, exactly like the
+      // zip_with/aggregate formulation (ADVICE r03: ArrayData.getDouble
+      // would silently read a null slot as 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dab += xi * yi
@@ -61,11 +65,20 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
   val Name = "graft_cosine"
 
+  /** SQL-name registration (optional — the Column API below is
+    * self-contained; register only to call `graft_cosine(...)` from SQL).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, exprs => CosineSim(exprs(0), exprs(1)), "built-in")
 
-  /** Column API (requires [[register]]); inputs: two array<double> columns. */
-  def apply(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function(Name, a, b)
+  /** Column API, self-contained (ADVICE r03: the registry-routed form made
+    * external callers fail analysis unless an internal entry point had
+    * registered the name first). Inputs: two array<double> columns.
+    */
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(CosineSim(GraftExpressionBridge.expression(a),
+      GraftExpressionBridge.expression(b)))
+  }
 }

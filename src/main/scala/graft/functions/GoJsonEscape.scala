@@ -45,6 +45,8 @@ object GoJsonEscape {
       Name, exprs => GoJsonEscape(exprs.head), "built-in")
 
   /** Column API: `go_json_escape(col)` (requires [[register]]). */
-  def apply(c: Column): Column =
-    org.apache.spark.sql.functions.call_function(Name, c)
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(GoJsonEscape(GraftExpressionBridge.expression(c)))
+  }
 }

@@ -109,7 +109,10 @@ object MapRows {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       Name, exprs => MapRows(exprs(0), exprs(1)), "built-in")
 
-  /** Column API (requires [[register]]). */
-  def apply(names: Column, vals: Column): Column =
-    org.apache.spark.sql.functions.call_function(Name, names, vals)
+  /** Column API, self-contained (no prior [[register]] needed). */
+  def apply(names: Column, vals: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(MapRows(GraftExpressionBridge.expression(names),
+      GraftExpressionBridge.expression(vals)))
+  }
 }

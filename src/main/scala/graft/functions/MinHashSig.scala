@@ -65,6 +65,8 @@ object MinHashSig {
       Name, exprs => MinHashSig(exprs.head), "built-in")
 
   /** Column API (requires [[register]]); input: token array. */
-  def apply(tokens: Column): Column =
-    org.apache.spark.sql.functions.call_function(Name, tokens)
+  def apply(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(MinHashSig(GraftExpressionBridge.expression(tokens)))
+  }
 }

@@ -76,6 +76,8 @@ object SimHashSig {
       Name, exprs => SimHashSig(exprs.head), "built-in")
 
   /** Column API (requires [[register]]); input: token array. */
-  def apply(tokens: Column): Column =
-    org.apache.spark.sql.functions.call_function(Name, tokens)
+  def apply(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(SimHashSig(GraftExpressionBridge.expression(tokens)))
+  }
 }

@@ -77,7 +77,8 @@ case class RoutedEvent(
     row_repr: String, // canonical "k=v,..." of Data.Row (null for Update/Query)
     old_repr: String, // Update only
     new_repr: String, // Update only
-    mapping_notice: String, // "" when clean
+    mapping_notice: String, // "" when clean (Data/OldData side)
+    new_mapping_notice: String, // Update only — NewData's own per-row notice (row_data.go:15)
     query: String, // Query only (raw SQL)
     text: String // byte-identical original turn text (north-rule invariant)
 )

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Route {
 
   private def msgStruct(eventType: Column, rowRepr: Column, oldRepr: Column,
-      newRepr: Column, notice: Column, query: Column,
+      newRepr: Column, notice: Column, newNotice: Column, query: Column,
       rowEntries: Column, oldEntries: Column, newEntries: Column): Column =
     struct(
       eventType.as("event_type"),
@@ -37,6 +37,7 @@ object Route {
       oldRepr.as("old_repr"),
       newRepr.as("new_repr"),
       notice.as("mapping_notice"),
+      newNotice.as("new_mapping_notice"),
       query.as("query"),
       rowEntries.as("row_entries"),
       oldEntries.as("old_entries"),
@@ -80,17 +81,21 @@ object Route {
     val mapped = graft.functions.MapRows(names, vals)
 
     val queryMsg = array(msgStruct(
-      lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), col("stmt"),
-      nullEntries, nullEntries, nullEntries))
+      lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), nullStr,
+      col("stmt"), nullEntries, nullEntries, nullEntries))
 
     val insertDeleteMsgs = transform(mapped, m => msgStruct(
       when(col("kind") === "insert", Model.EventType.Insert)
         .otherwise(Model.EventType.Delete),
       m.getField("repr"), nullStr, nullStr,
-      m.getField("notice"), nullStr,
+      m.getField("notice"), nullStr, nullStr,
       m.getField("entries"), nullEntries, nullEntries))
 
-    // old/new adjacent pairs: element_at is 1-based → old = 2i+1, new = 2i+2
+    // old/new adjacent pairs: element_at is 1-based → old = 2i+1, new = 2i+2.
+    // Each side carries its OWN mismatch notice: the reference runs
+    // detectMismatch per physical row (`row_data.go:15`), so OldData and
+    // NewData diverge when only one side's length mismatches field_names
+    // (ADVICE r03).
     val updateMsgs = transform(
       sequence(lit(0), (size(vals) / 2).cast("int") - 1),
       i => msgStruct(
@@ -98,6 +103,7 @@ object Route {
         element_at(mapped, i * 2 + 1).getField("repr"),
         element_at(mapped, i * 2 + 2).getField("repr"),
         element_at(mapped, i * 2 + 1).getField("notice"),
+        element_at(mapped, i * 2 + 2).getField("notice"),
         nullStr,
         nullEntries,
         element_at(mapped, i * 2 + 1).getField("entries"),
@@ -107,7 +113,7 @@ object Route {
       .when(insertDelete, insertDeleteMsgs)
       .when(updateOk, updateMsgs)
       .otherwise(array().cast(
-        s"array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,query:string,row_entries:$entriesType,old_entries:$entriesType,new_entries:$entriesType>>"))
+        s"array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,new_mapping_notice:string,query:string,row_entries:$entriesType,old_entries:$entriesType,new_entries:$entriesType>>"))
 
     enriched
       .select(
@@ -126,6 +132,7 @@ object Route {
         col("m.old_repr").as("old_repr"),
         col("m.new_repr").as("new_repr"),
         col("m.mapping_notice").as("mapping_notice"),
+        col("m.new_mapping_notice").as("new_mapping_notice"),
         col("m.query").as("query"),
         col("m.row_entries").as("row_entries"),
         col("m.old_entries").as("old_entries"),

@@ -42,67 +42,99 @@ object AnnPack extends QueryPack {
       Similarity.ivfTopK(emb(s, dir), QueryIds, TopK)
         .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
     "ann_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDup(emb(s, dir), NearDupThreshold, NearDupPlanes))
+      Similarity.cosineNearDup(emb(s, dir), NearDupThreshold, NearDupPlanes)),
+    // recall@k of IVF vs the exact brute-force ranking — the number a
+    // training-data pipeline tunes nProbe by (VERDICT r03 #6). Per query:
+    // hits = |ivf top-k ∩ brute top-k|, k = |brute top-k|.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"))
+      val ivf = Similarity.ivfTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"), lit(1).as("hit"))
+      brute.join(ivf, Seq("q", "neighbor"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
+          count(lit(1)).cast("int").as("k"))
+    })
   )
+
+  /** Shared CTE chain ending in `brute(q, rank, neighbor)`. */
+  private val duckBruteCtes =
+    s"""bq AS (SELECT vec_id AS q, embedding::DOUBLE[] AS q_emb
+               FROM embeddings WHERE vec_id IN (${QueryIds.mkString(", ")})),
+        bc AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS c_emb FROM embeddings),
+        brute AS (SELECT q, rank, neighbor FROM (
+          SELECT q, neighbor,
+            row_number() OVER (PARTITION BY q
+              ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
+          FROM bc, bq WHERE q <> neighbor)
+        WHERE rank <= $TopK)"""
+
+  /** Shared CTE chain ending in `ivf(q, rank, neighbor)` — mirrors
+    * Similarity.trainCentroids (iters=1): md5-spread seeds, one Lloyd
+    * step, INTEGER-sum fixed-point centroids (scale-free under cosine →
+    * no float accumulation, engine/bit-identical).
+    */
+  private val duckIvfCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        sample AS (SELECT vec_id, emb,
+            row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rk
+          FROM e QUALIFY rk <= 4096),
+        seeds AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, emb AS cent_emb
+          FROM sample WHERE rk <= 16),
+        assign1 AS (SELECT vec_id, emb, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
+          FROM sample, seeds),
+        dims AS (SELECT cent_id, u.e['p'] AS p, u.e['x'] AS x
+          FROM (SELECT cent_id, emb FROM assign1 WHERE crank = 1) m,
+            UNNEST(list_transform(m.emb, (x, i) -> {'p': i, 'x': x})) AS u(e)),
+        cents0 AS (SELECT cent_id,
+            list_transform(list_sort(list({'p': p, 's': s2})),
+              e -> CAST(e.s AS DOUBLE)) AS cent_emb
+          FROM (SELECT cent_id, p, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s2
+                FROM dims GROUP BY cent_id, p)
+          GROUP BY cent_id),
+        -- duplicate-seed guard (mirrors trainCentroids): an emptied
+        -- cluster keeps its seed vector
+        cents AS (SELECT s.cent_id,
+            coalesce(c.cent_emb, s.cent_emb) AS cent_emb
+          FROM seeds s LEFT JOIN cents0 c USING (cent_id)),
+        ranked AS (
+          SELECT vec_id, emb, cent_id,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
+          FROM e, cents),
+        lists AS (SELECT cent_id, vec_id AS neighbor, emb AS c_emb FROM ranked WHERE crank = 1),
+        probes AS (SELECT vec_id AS q, emb AS q_emb, cent_id FROM ranked
+                   WHERE vec_id IN (${QueryIds.mkString(", ")}) AND crank <= 4),
+        ivf AS (SELECT q, rank, neighbor FROM (
+          SELECT q, neighbor,
+            row_number() OVER (PARTITION BY q
+              ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
+          FROM lists JOIN probes USING (cent_id) WHERE q <> neighbor)
+        WHERE rank <= $TopK)"""
 
   def oracleSql = Map(
     "ann_brute_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q, embedding::DOUBLE[] AS q_emb
-                     FROM embeddings WHERE vec_id IN (${QueryIds.mkString(", ")})),
-          c AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS c_emb FROM embeddings)
-          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM (
-            SELECT q, neighbor,
-              row_number() OVER (PARTITION BY q
-                ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
-            FROM c, q WHERE q <> neighbor)
-          WHERE rank <= $TopK""",
+      s"""WITH $duckBruteCtes
+          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM brute""",
 
     "ann_lsh_buckets" ->
       s"""SELECT vec_id, ${duckBucket("emb", 8)} AS bucket
           FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)""",
 
-    // mirrors Similarity.trainCentroids (iters=1): md5-spread seeds, one
-    // Lloyd step, INTEGER-sum fixed-point centroids (scale-free under
-    // cosine → no float accumulation, engine/bit-identical).
     "ann_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-          sample AS (SELECT vec_id, emb,
-              row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS rk
-            FROM e QUALIFY rk <= 4096),
-          seeds AS (SELECT CAST(rk - 1 AS BIGINT) AS cent_id, emb AS cent_emb
-            FROM sample WHERE rk <= 16),
-          assign1 AS (SELECT vec_id, emb, cent_id,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
-            FROM sample, seeds),
-          dims AS (SELECT cent_id, u.e['p'] AS p, u.e['x'] AS x
-            FROM (SELECT cent_id, emb FROM assign1 WHERE crank = 1) m,
-              UNNEST(list_transform(m.emb, (x, i) -> {'p': i, 'x': x})) AS u(e)),
-          cents0 AS (SELECT cent_id,
-              list_transform(list_sort(list({'p': p, 's': s2})),
-                e -> CAST(e.s AS DOUBLE)) AS cent_emb
-            FROM (SELECT cent_id, p, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s2
-                  FROM dims GROUP BY cent_id, p)
-            GROUP BY cent_id),
-          -- duplicate-seed guard (mirrors trainCentroids): an emptied
-          -- cluster keeps its seed vector
-          cents AS (SELECT s.cent_id,
-              coalesce(c.cent_emb, s.cent_emb) AS cent_emb
-            FROM seeds s LEFT JOIN cents0 c USING (cent_id)),
-          ranked AS (
-            SELECT vec_id, emb, cent_id,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY ${duckCos("emb", "cent_emb")} DESC, cent_id ASC) AS crank
-            FROM e, cents),
-          lists AS (SELECT cent_id, vec_id AS neighbor, emb AS c_emb FROM ranked WHERE crank = 1),
-          probes AS (SELECT vec_id AS q, emb AS q_emb, cent_id FROM ranked
-                     WHERE vec_id IN (${QueryIds.mkString(", ")}) AND crank <= 4)
-          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM (
-            SELECT q, neighbor,
-              row_number() OVER (PARTITION BY q
-                ORDER BY ${duckCos("q_emb", "c_emb")} DESC, neighbor ASC) AS rank
-            FROM lists JOIN probes USING (cent_id) WHERE q <> neighbor)
-          WHERE rank <= $TopK""",
+      s"""WITH $duckIvfCtes
+          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM ivf""",
+
+    "ann_ivf_recall" ->
+      s"""WITH $duckBruteCtes, $duckIvfCtes
+          SELECT b.q,
+            CAST(SUM(CASE WHEN v.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+            CAST(count(*) AS INT) AS k
+          FROM brute b LEFT JOIN ivf v ON b.q = v.q AND b.neighbor = v.neighbor
+          GROUP BY b.q""",
 
     "ann_cosine_neardup" ->
       s"""WITH b AS (SELECT vec_id, emb, ${duckBucket("emb", NearDupPlanes)} AS bucket

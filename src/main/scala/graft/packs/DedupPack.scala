@@ -41,6 +41,22 @@ object DedupPack extends QueryPack {
 
   private val duckMinhashCtes = s"WITH $duckShingled, $duckSigs, $duckBands"
 
+  /** Bands after the default-on hot-bucket cap (mirrors
+    * [[Dedup.DefaultMaxBucket]]): keep the `cap` lowest doc_ids per
+    * (band_idx, band_hash) bucket.
+    */
+  private def duckCapped(cap: Int) = s"""capped AS (
+    SELECT doc_id, band_idx, band_hash FROM (
+      SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+        ORDER BY doc_id) AS rk FROM bands) WHERE rk <= $cap)"""
+
+  /** Candidate pairs from the capped bands — the production-default path. */
+  private val duckCand = s"""cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM capped l JOIN capped r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id)"""
+
   /** Unsigned 64-bit token hash: first 8 md5 bytes (mirrors SimHashSig). */
   private def duckH64(e: String): String = s"('0x' || substr(md5($e), 1, 16))::UBIGINT"
 
@@ -60,13 +76,17 @@ object DedupPack extends QueryPack {
   def queries = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
+    // default path: hot-bucket cap ON (DefaultMaxBucket, VERDICT r03 #3)
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidates(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashDocs(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashCandidates(docs(s, dir))),
-    // hot-bucket cap engaged (cap=2): the 100 TB guard, oracle-proven
+    // tight cap (cap=2): stresses the capped window path
     "dedup_minhash_pairs_capped" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), maxBucket = 2)),
+    // uncapped opt-in: the pre-r04 default, kept graded
+    "dedup_minhash_pairs_uncapped" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), maxBucket = Int.MaxValue)),
     // pair graph -> keeper per doc (the actual dedup decision)
     "dedup_resolve" -> ((s, dir) =>
       Dedup.resolveKeepers(Dedup.minhashCandidates(docs(s, dir))))
@@ -81,6 +101,10 @@ object DedupPack extends QueryPack {
       s"$duckMinhashCtes SELECT doc_id, band_idx, band_hash FROM bands",
 
     "dedup_minhash_pairs" ->
+      s"""$duckMinhashCtes, ${duckCapped(Dedup.DefaultMaxBucket)}, $duckCand
+          SELECT a, b FROM cand""",
+
+    "dedup_minhash_pairs_uncapped" ->
       s"""$duckMinhashCtes
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
           FROM bands l JOIN bands r
@@ -88,11 +112,7 @@ object DedupPack extends QueryPack {
                AND l.doc_id < r.doc_id""",
 
     "dedup_ngram_jaccard" ->
-      s"""$duckMinhashCtes,
-          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r
-              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-                 AND l.doc_id < r.doc_id)
+      s"""$duckMinhashCtes, ${duckCapped(Dedup.DefaultMaxBucket)}, $duckCand
           SELECT c.a, c.b,
             CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter,
             CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS INT) AS uni,
@@ -106,14 +126,8 @@ object DedupPack extends QueryPack {
     "dedup_simhash" -> duckSimhash,
 
     "dedup_minhash_pairs_capped" ->
-      s"""$duckMinhashCtes,
-          capped AS (SELECT doc_id, band_idx, band_hash FROM (
-            SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
-              ORDER BY doc_id) AS rk FROM bands) WHERE rk <= 2)
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM capped l JOIN capped r
-            ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-               AND l.doc_id < r.doc_id""",
+      s"""$duckMinhashCtes, ${duckCapped(2)}, $duckCand
+          SELECT a, b FROM cand""",
 
     // Exact connected-component minimum via recursive transitive closure:
     // reach(x, r) = "r reachable from x"; min(r) per x = the component min
@@ -121,10 +135,7 @@ object DedupPack extends QueryPack {
     // side iterates min-label propagation until no label changes).
     "dedup_resolve" ->
       s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r
-              ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-                 AND l.doc_id < r.doc_id),
+          ${duckCapped(Dedup.DefaultMaxBucket)}, $duckCand,
           edges AS (SELECT a AS x, b AS y FROM cand
                     UNION ALL SELECT b AS x, a AS y FROM cand),
           reach AS (

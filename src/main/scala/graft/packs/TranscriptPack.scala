@@ -212,7 +212,10 @@ object TranscriptPack extends QueryPack {
     // G1/G2 streaming mode (VERDICT r02 #7): the reference's ACTUAL
     // sequential buffer-drain semantics (rows_event_buffer.go:7-24) as
     // flatMapGroupsWithState, replayed over the sf-dir turns through a
-    // MemoryStream micro-batch and graded against a DuckDB oracle.
+    // parquet FILE SOURCE under Trigger.AvailableNow and graded against a
+    // DuckDB oracle. The replay is fully distributed: the derived turns are
+    // written executor-side and streamed back — nothing is collected to the
+    // driver (VERDICT r03 #1 flagged the previous MemoryStream harness).
     // Streaming semantics differ from the batch window exactly where the
     // reference's do at EOF: row events with no following commit stay
     // buffered (never emitted), queries/noise pass through with txn 0.
@@ -222,20 +225,49 @@ object TranscriptPack extends QueryPack {
       // ~100ms of store init PER PARTITION for a replay this small
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val batch = turns(s, dir)
+      val replayDir = java.nio.file.Files
+        .createTempDirectory("graft-g2-replay").toString
+      turns(s, dir)
         .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .as[graft.model.Turn].collect().toSeq
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.model.Turn]
-      input.addData(batch)
-      val stamped = graft.streaming.StreamingPipeline.stamped(input.toDF())
+        .write.mode("overwrite").parquet(replayDir)
+      val input = s.readStream.schema(graft.model.Model.turnsSchema)
+        .parquet(replayDir)
+      val stamped = graft.streaming.StreamingPipeline.stamped(input)
         .select(col("conv_id"), col("turn_idx"), col("kind"), col("txn_id"))
       val q = stamped.writeStream.format("memory").queryName("g2_stream_oracle")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
       s.table("g2_stream_oracle")
+    }),
+
+    // K4: the watermarked windowed streaming aggregate (VERDICT r03 #5 —
+    // the last streaming operator without oracle evidence). Same
+    // distributed file-source replay as g2; Append mode emits exactly the
+    // windows the final watermark (max routed event time − 10 min) has
+    // passed, which the DuckDB oracle replicates with time_bucket.
+    "k4_windowed_counts" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val replayDir = java.nio.file.Files
+        .createTempDirectory("graft-k4-replay").toString
+      turns(s, dir)
+        .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .write.mode("overwrite").parquet(replayDir)
+      val input = s.readStream.schema(graft.model.Model.turnsSchema)
+        .parquet(replayDir)
+      val routed = graft.streaming.StreamingPipeline.routedStream(
+        input, Transcripts.lookup(s))
+      val counts = graft.streaming.StreamingPipeline.windowedSinkCounts(routed)
+        .select(Parse.eventTime(col("window.start")).as("win_start"),
+          col("role"), col("tool"), col("event_type"), col("n"))
+      val q = counts.writeStream.format("memory").queryName("k4_windowed")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table("k4_windowed")
     }),
 
     // A1: conservation ledger
@@ -333,10 +365,35 @@ object TranscriptPack extends QueryPack {
               || CASE WHEN kind IN ('insert','delete')
                    THEN '"Data":' || ${duckRowData("vals[i]", duckNotice("vals[i]"))}
                    ELSE '"OldData":' || ${duckRowData("vals[2*i-1]", duckNotice("vals[2*i-1]"))}
-                     || ',"NewData":' || ${duckRowData("vals[2*i]", duckNotice("vals[2*i-1]"))}
+                     || ',"NewData":' || ${duckRowData("vals[2*i]", duckNotice("vals[2*i]"))}
                  END
               || '}' AS doc
           FROM expl"""),
+
+    // Watermark semantics in the oracle: a window [b, b+5min) is emitted
+    // in Append mode iff the final watermark (max routed event second −
+    // 10 min) has passed its END.
+    "k4_windowed_counts" -> withEnriched(
+      s""", routable2 AS (
+            SELECT role,
+              CASE WHEN kind = 'query' AND NOT suppressed THEN '(unknown)' ELSE tool END AS tool,
+              CASE WHEN kind = 'query' AND NOT suppressed THEN 'Query'
+                   WHEN kind = 'insert' THEN 'Insert' WHEN kind = 'delete' THEN 'Delete'
+                   ELSE 'Update' END AS event_type,
+              CASE WHEN kind = 'query' AND NOT suppressed THEN 1
+                   WHEN matched AND txn_id IS NOT NULL AND kind IN ('insert','delete') THEN len(vals)
+                   WHEN matched AND txn_id IS NOT NULL AND kind = 'update'
+                        AND len(vals) >= 2 AND len(vals) % 2 = 0 THEN len(vals) // 2
+                   ELSE 0 END AS n_messages,
+              date_trunc('second', ts) AS ets
+            FROM enriched),
+          msgs AS (SELECT * FROM routable2 WHERE n_messages > 0),
+          wm AS (SELECT max(ets) - INTERVAL 10 MINUTE AS w FROM msgs)
+          SELECT strftime(time_bucket(INTERVAL '5 minutes', ets), '%Y-%m-%dT%H:%M:%SZ') AS win_start,
+            role, tool, event_type, CAST(SUM(n_messages) AS BIGINT) AS n
+          FROM msgs, wm
+          WHERE time_bucket(INTERVAL '5 minutes', ets) + INTERVAL 5 MINUTE <= wm.w
+          GROUP BY 1, 2, 3, 4"""),
 
     "g2_txn_stamp_streaming" -> (s"${Transcripts.turnsCte}, $duckParsed, $duckStamped " +
       """SELECT conv_id, turn_idx, kind,

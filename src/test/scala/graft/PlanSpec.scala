@@ -96,6 +96,25 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle in IVF assignment:\n$exec")
   }
 
+  test("IVF training samples via distributed top-N, never a global corpus sort (VERDICT r03 #7)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.ann.Similarity.trainCentroids(emb, 16)
+    cents.collect() // materialize so AQE finalizes the physical plan
+    val p = plan(cents)
+    // orderBy(h).limit(sampleN) must plan as TakeOrderedAndProject — a
+    // distributed per-partition top-N + driver merge of sampleN rows. A
+    // regression to orderBy-without-limit would GLOBAL-sort the corpus
+    // (range exchange + full sort) just to seed the quantizer.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sample must plan as distributed top-N:\n$p")
+    // No global sort anywhere in training: SortExec prints as
+    // "Sort [keys], <global>, 0" — the row_number windows sort locally
+    // (global=false) AFTER the ≤sampleN cut; a global=true sort means the
+    // full corpus is being range-exchanged.
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).toList
+    assert(globalSorts.isEmpty, s"global sort in training plan:\n$p")
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))

@@ -86,6 +86,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ndjsonSink restart from checkpoint is exactly-once, incl. cross-restart buffer drain (VERDICT r03 #4)") {
+    val s = spark
+    val inDir = java.nio.file.Files.createTempDirectory("graft-eo-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-eo-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-eo-ck").toString
+    val phase1 = Seq(
+      ("c1", 1, "user", "EVENT insert rows=1 vals=[1|a|b]", "search"),
+      ("c1", 2, "user", "EVENT insert rows=1 vals=[2|c|d]", "search"),
+      ("c2", 1, "user", "EVENT query stmt=DROP TABLE x", "search"))
+    val phase2 = Seq(
+      ("c1", 3, "user", "EVENT commit xid=9", "search"),
+      ("c3", 1, "user", "EVENT query stmt=CREATE TABLE y (id INT)", "search"))
+
+    def runOnce(): Unit = {
+      val input = s.readStream.schema(graft.model.Model.turnsSchema).parquet(inDir)
+      val q = StreamingPipeline.ndjsonSink(
+        StreamingPipeline.routedStream(input, Transcripts.lookup(s)), outDir, ckDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: inserts buffer in state, only the query emits
+    mkTurns(phase1).write.mode("append").parquet(inDir)
+    runOnce()
+    val afterRun1 = s.read.text(outDir).collect().map(_.getString(0))
+    assert(afterRun1.length == 1 && afterRun1.head.contains("\"Type\":\"Query\""))
+
+    // "crash" happened (query stopped); new files arrive; RESTART from the
+    // same checkpoint: the state store must restore c1's buffer, the file
+    // source must NOT reprocess phase-1 files, the sink's commit log must
+    // not duplicate the phase-1 output.
+    mkTurns(phase2).write.mode("append").parquet(inDir)
+    runOnce()
+    val lines = s.read.text(outDir).collect().map(_.getString(0)).sorted
+
+    // golden: identical multiset to the BATCH pipeline's compact NDJSON
+    // over the full input (the streaming analog of assertJson,
+    // parse_binlog_file_integration_test.go:83-103)
+    val batch = graft.functions.CanonicalJson.fromRouted(
+      Pipeline.routed(mkTurns(phase1 ++ phase2), Transcripts.lookup(s)),
+      pretty = false).collect().sorted
+    assert(lines.toSeq == batch.toSeq,
+      s"streaming-restart output != batch golden:\n${lines.mkString("\n")}\nvs\n${batch.mkString("\n")}")
+    assert(lines.count(_.contains("\"Type\":\"Insert\"")) == 2)
+    assert(lines.filter(_.contains("\"Type\":\"Insert\"")).forall(_.contains("\"XId\":9")))
+    assert(lines.count(_.contains("\"Type\":\"Query\"")) == 2)
+  }
+
   test("uncommitted buffer is never emitted (EOF discard semantics)") {
     val s = spark
     import s.implicits._
