@@ -35,22 +35,17 @@ object Similarity {
   /** Cosine via the compiled [[graft.functions.CosineSim]] loop — HOF
     * lambdas evaluate interpreted per element (measured: ann_ivf_topk
     * 14.2 s fold vs 2-3 s fused at sf0.1); fold order is identical so
-    * oracle hashes are unchanged. Requires [[ensureRegistered]].
+    * oracle hashes are unchanged. Self-contained — no session
+    * registration needed (ADVICE r03).
     */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
-
-  private def ensureRegistered(df: DataFrame): DataFrame = {
-    graft.functions.CosineSim.register(df.sparkSession)
-    df
-  }
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact top-k neighbors for each query vector (queries = vec_id ∈
     * querySet), excluding self. Output: (q, rank, neighbor).
     */
-  def bruteForceTopK(emb0: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val emb = ensureRegistered(emb0)
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val queries = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("q"), asDouble(col("embedding")).as("q_emb")))
@@ -91,8 +86,7 @@ object Similarity {
   /** Approximate top-k: exact cosine ranking restricted to the query's LSH
     * bucket. Recall depends on nPlanes; candidates shrink ~2^nPlanes-fold.
     */
-  def lshTopK(emb0: DataFrame, queryIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
-    val emb = ensureRegistered(emb0)
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nPlanes: Int = 8): DataFrame = {
     val bucketed = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), nPlanes))
     val queries = broadcast(bucketed.filter(col("vec_id").isin(queryIds: _*))
@@ -132,9 +126,8 @@ object Similarity {
     * full corpus once — the standard IVF recipe.
     * Output: (cent_id, cent_emb array<double>).
     */
-  def trainCentroids(emb0: DataFrame, k: Int, iters: Int = 1,
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 1,
       sampleN: Int = 4096): DataFrame = {
-    val emb = ensureRegistered(emb0)
     // orderBy+limit plans as TakeOrderedAndProject — a distributed top-N,
     // NOT a global single-partition sort; the window ranks only the ≤sampleN
     // surviving rows.
@@ -184,8 +177,7 @@ object Similarity {
     * oracle because the cosine is the same sequential fold.
     * Output: (vec_id, emb, cent_id).
     */
-  def assignCentroids(emb0: DataFrame, cents: DataFrame): DataFrame = {
-    val emb = ensureRegistered(emb0)
+  def assignCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("cent_arr"))
     val best = array_max(transform(col("cent_arr"), c =>
@@ -221,9 +213,8 @@ object Similarity {
     * rank window runs only over the filtered query rows × k — a few dozen
     * rows — never the corpus.
     */
-  def ivfProbes(emb0: DataFrame, cents: DataFrame, queryIds: Seq[Long],
+  def ivfProbes(emb: DataFrame, cents: DataFrame, queryIds: Seq[Long],
       nProbe: Int): DataFrame = {
-    val emb = ensureRegistered(emb0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
     emb.filter(col("vec_id").isin(queryIds: _*))
@@ -240,9 +231,8 @@ object Similarity {
     * At scale the corpus shuffles ONCE (by cent_id, into the inverted-list
     * join) and each query touches ~nProbe/nCentroids of the data.
     */
-  def ivfTopK(emb0: DataFrame, queryIds: Seq[Long], k: Int,
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val emb = ensureRegistered(emb0)
     val cents = materializeCentroids(trainCentroids(emb, nCentroids))
     val lists = assignCentroids(emb, cents)
       .select(col("cent_id"), col("vec_id").as("neighbor"), col("emb").as("c_emb"))
@@ -261,8 +251,7 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed so
     * only same-bucket pairs are compared (the corpus never self-cross-joins).
     */
-  def cosineNearDup(emb0: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
-    val emb = ensureRegistered(emb0)
+  def cosineNearDup(emb: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
     val bucketed = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), nPlanes))
     val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("emb_a"))

@@ -130,14 +130,17 @@ class CanonicalJsonSpec extends SparkSpec {
     val turns = mkTurns(Seq(
       ("c2", 1, "user", "EVENT insert rows=2 vals=[1|A <&> \"q\"|x];[2|héllo 世界|y]", "search"),
       ("c2", 2, "user", "EVENT update rows=2 vals=[1|a|old];[1|a|new]", "search"),
-      ("c2", 3, "user", "EVENT query stmt=DROP TABLE `x`", "search"),
-      ("c2", 4, "user", "EVENT commit xid=5", "search")))
+      // asymmetric pair: old shorter than field_names, new clean — the
+      // per-SIDE notice split (ADVICE r03) must agree between renderers
+      ("c2", 3, "user", "EVENT update rows=2 vals=[1|a];[1|a|new]", "search"),
+      ("c2", 4, "user", "EVENT query stmt=DROP TABLE `x`", "search"),
+      ("c2", 5, "user", "EVENT commit xid=5", "search")))
     val routed = Pipeline.routed(turns, Transcripts.lookup(spark))
       .orderBy("turn_idx", "row_repr")
     val viaMap = CanonicalJson.fromRouted(routed, pretty = false).collect()
     val viaExpr = routed.select(CanonicalJson.jsonColumnCompact.as("j"))
       .collect().map(_.getString(0))
-    assert(viaMap.length == 4)
+    assert(viaMap.length == 5)
     viaMap.zip(viaExpr).foreach { case (a, b) => assert(a == b) }
   }
 
@@ -148,13 +151,14 @@ class CanonicalJsonSpec extends SparkSpec {
       ("c1", 2, "user", "EVENT update rows=2 vals=[1|a|old];[1|a|new]", "search"),
       ("c1", 3, "user", "EVENT query stmt=DROP TABLE `x`", "search"),
       ("c1", 4, "assistant", "EVENT insert rows=1 vals=[1|too]", "web"), // arity mismatch + notice
-      ("c1", 5, "user", "EVENT commit xid=77", "search")))
+      ("c1", 5, "user", "EVENT update rows=2 vals=[1|a];[1|a|new]", "search"), // per-side notices
+      ("c1", 6, "user", "EVENT commit xid=77", "search")))
     val routed = Pipeline.routed(turns, Transcripts.lookup(spark))
       .orderBy("turn_idx", "position")
     val viaMap = CanonicalJson.fromRouted(routed).collect()
     val viaExpr = routed.select(CanonicalJson.jsonColumn.as("j"))
       .collect().map(_.getString(0))
-    assert(viaMap.length == viaExpr.length && viaMap.length == 5)
+    assert(viaMap.length == viaExpr.length && viaMap.length == 6)
     viaMap.zip(viaExpr).foreach { case (a, b) => assert(a == b) }
   }
 

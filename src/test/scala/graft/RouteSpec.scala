@@ -52,6 +52,30 @@ class RouteSpec extends SparkSpec {
     assert(r.getAs[String]("new_repr").contains("new"))
   }
 
+  test("update sides carry their OWN mismatch notices (row_data.go:15 per-row detectMismatch, ADVICE r03)") {
+    // old row is SHORTER than field_names (3: building_no/building_name/
+    // address), new row is clean → OldData gets the shorter-row notice,
+    // NewData gets none. The synthetic corpus never produces asymmetric
+    // pairs, so this is the one place the per-side split is exercised.
+    val out = routed(Seq(
+      ("c1", 1, "user", "EVENT update rows=2 vals=[1|ACME];[1|ACME|new]", "search"),
+      ("c1", 2, "user", "EVENT commit xid=5", "search"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("mapping_notice") == graft.model.Model.NoticeRowShorter)
+    assert(r.getAs[String]("new_mapping_notice") == "")
+    // and the compact rendering places each notice on its own side
+    val doc = graft.functions.CanonicalJson.fromRouted(
+      routed(Seq(
+        ("c1", 1, "user", "EVENT update rows=2 vals=[1|ACME];[1|ACME|new]", "search"),
+        ("c1", 2, "user", "EVENT commit xid=5", "search"))),
+      pretty = false).collect().head
+    val oldData = doc.substring(doc.indexOf("\"OldData\""), doc.indexOf("\"NewData\""))
+    val newData = doc.substring(doc.indexOf("\"NewData\""))
+    assert(oldData.contains("\"MappingNotice\":\"row is missing field(s), ignoring missing\""))
+    assert(newData.contains("\"MappingNotice\":\"\""))
+  }
+
   test("odd update rows quarantined, not crashed (reference panics, conversion.go:92-94)") {
     val out = routed(Seq(
       ("c1", 1, "user", "EVENT update rows=3 vals=[1|a|x];[1|a|y];[1|a|z]", "search"),
