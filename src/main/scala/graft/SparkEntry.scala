@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(TranscriptPack, TextPack, DedupPack, AnnPack, RelationalPack, MultimodalPack)
+    Seq(TranscriptPack, TextPack, DedupPack, AnnPack, RelationalPack,
+      MultimodalPack, CuratePack)
 
   /** Flagship: per-sink routed-message counts on sf0.001 (the aggregate the
     * north rule grades — K3 fan-out + A1 counts).

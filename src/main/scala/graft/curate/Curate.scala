@@ -1,0 +1,138 @@
+package graft.curate
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline,
+  * over the `documents` table — the steps between "raw crawl" and
+  * "training shards" that the dedup/text/ANN packs don't cover:
+  * deterministic splits, stratified sampling, token-budget shard packing,
+  * benchmark decontamination, and length-distribution statistics.
+  *
+  * All determinism comes from the engine-portable md5-derived hash
+  * ([[graft.dedup.Dedup.h32]]) so every operator is reproducible across
+  * engines and cluster sizes — no RNG, no partition-order dependence.
+  *
+  * 100 TB design notes per operator are on the methods; the common theme:
+  * split/sample are pure row-local expressions (run inside the scan's
+  * WholeStageCodegen, zero shuffle), packing windows only within a
+  * source, and decontamination broadcasts the (small) benchmark side.
+  */
+object Curate {
+
+  /** Salted portable bucket in [0, mod): h32(key || salt) % mod. */
+  def bucket(key: Column, salt: String, mod: Int): Column =
+    pmod(Dedup.h32(concat(key.cast("string"), lit(salt))), lit(mod.toLong))
+
+  /** Deterministic train/val/test assignment by hashed doc_id — the
+    * reproducible split every training pipeline needs. Row-local (no
+    * shuffle, no RNG): at 100 TB this is a free column on the scan, and
+    * re-running on any cluster size yields byte-identical membership.
+    * Output: (doc_id, bucket, split).
+    */
+  def split(docs: DataFrame, salt: String = "graft-split",
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = bucket(col("doc_id"), salt, 100)
+    docs.select(
+      col("doc_id"), b.as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-language sampling rates (percent kept) for the stratified
+    * sample — the up/down-weighting step of corpus mixing. Unlisted
+    * languages fall back to `defaultPct`.
+    */
+  val defaultRates: Map[String, Int] =
+    Map("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 20)
+
+  /** Deterministic stratified sample: keep a doc iff its salted hash
+    * bucket falls under its language's rate. Row-local filter — pushes
+    * to the scan, prunes to three columns, never shuffles; exact expected
+    * proportions are a property of the hash, not of a seed.
+    * Output: kept (doc_id, lang, bucket) rows.
+    */
+  def sampleStratified(docs: DataFrame,
+      rates: Map[String, Int] = defaultRates, defaultPct: Int = 10,
+      salt: String = "graft-sample"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, pct).otherwise(acc)
+    }
+    val b = bucket(col("doc_id"), salt, 100)
+    docs.select(col("doc_id"), col("lang"), b.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Token-budget shard packing: contiguous-fill documents (ordered by
+    * doc_id) into shards of ~`budget` tokens WITHIN each source — the
+    * "write training shards of N tokens" step. shard_idx = exclusive
+    * running token count / budget, so a shard can overflow by at most one
+    * document (the standard streaming-pack approximation; exact bin
+    * packing is NP-hard and order-destroying).
+    *
+    * Scale: one hash shuffle on source, then a running-frame window per
+    * source partition — no global sort, no unbounded frame. At 100 TB
+    * you'd sub-salt giant sources (source, h32(doc_id) % k) exactly like
+    * [[graft.operators.TxnStamp]]'s salted path; per-source is the
+    * honest small-scale model of that.
+    * Output: (doc_id, source, n_tokens, shard_idx).
+    */
+  def packShards(docs: DataFrame, budget: Long = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard_idx",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+  }
+
+  /** Deterministic stand-in benchmark membership: every 20th hash bucket.
+    * In production this is the published eval set; the sandbox corpus has
+    * none, so membership is derived portably from the same hash family.
+    */
+  def isBenchmark(salt: String = "graft-bench"): Column =
+    bucket(col("doc_id"), salt, 20) === 0
+
+  /** Benchmark decontamination: flag corpus documents sharing any token
+    * 3-gram shingle with a benchmark document — the n-gram-overlap
+    * contamination check run before training on any crawl.
+    *
+    * Scale shape: the benchmark side (eval suites; thousands of docs, not
+    * billions) reduces to a DISTINCT shingle-hash set and BROADCASTS into
+    * the corpus-side explode — the corpus is never shuffled and never
+    * self-joined; cost is one pass over corpus shingles + a map-side
+    * semi-join, then a partial-agg count per doc.
+    * Output: contaminated (doc_id, n_hits = distinct shared shingles,
+    * n_bench_docs = distinct benchmark docs hit).
+    */
+  def decontaminate(docs: DataFrame, salt: String = "graft-bench"): DataFrame = {
+    val shingled = docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
+      explode(Dedup.shingles(col("text"))).as("sh"))
+    val benchSh = shingled.filter(col("is_bench"))
+      .select(col("sh"), col("doc_id").as("bench_doc")).distinct()
+    shingled.filter(!col("is_bench"))
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("sh")).as("n_hits"),
+        count_distinct(col("bench_doc")).as("n_bench_docs"))
+  }
+
+  /** Exact length-distribution quartiles per language — the numbers a
+    * length-filter threshold is tuned from. Exact `percentile` (not
+    * approx) keeps the oracle bit-exact; at 100 TB swap in
+    * `approx_percentile` per the documented accuracy budget — the query
+    * shape (one partial+final agg, three-column scan) is unchanged.
+    * Output: (lang, n_docs, min/p25/p50/p75/max of n_chars).
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      min(col("n_chars")).as("len_min"),
+      percentile(col("n_chars"), lit(0.25)).as("len_p25"),
+      percentile(col("n_chars"), lit(0.5)).as("len_p50"),
+      percentile(col("n_chars"), lit(0.75)).as("len_p75"),
+      max(col("n_chars")).as("len_max"))
+}

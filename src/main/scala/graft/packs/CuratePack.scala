@@ -1,0 +1,80 @@
+package graft.packs
+
+import graft.curate.Curate
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries over `documents` with DuckDB oracles mirroring
+  * the portable md5 hashing (same family as [[DedupPack]]).
+  */
+object CuratePack extends QueryPack {
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Mirrors Curate.bucket: ('0x'||md5-prefix)::BIGINT % mod on the
+    * salted key.
+    */
+  private def duckBucket(key: String, salt: String, mod: Int): String =
+    s"(('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 8))::BIGINT % $mod)"
+
+  private val duckShingles =
+    """list_distinct(list_transform(range(1, len(toks) - 1),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
+
+  def queries = Map(
+    "cur_split" -> ((s, dir) => Curate.split(docs(s, dir))),
+    "cur_sample_stratified" -> ((s, dir) => Curate.sampleStratified(docs(s, dir))),
+    "cur_pack_shards" -> ((s, dir) => Curate.packShards(docs(s, dir))),
+    "cur_decontaminate" -> ((s, dir) => Curate.decontaminate(docs(s, dir))),
+    "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir)))
+  )
+
+  def oracleSql = Map(
+    "cur_split" -> {
+      val b = duckBucket("doc_id", "graft-split", 100)
+      s"""SELECT doc_id, $b AS bucket,
+          CASE WHEN $b < 90 THEN 'train'
+               WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM documents"""
+    },
+
+    "cur_sample_stratified" -> {
+      val b = duckBucket("doc_id", "graft-sample", 100)
+      val rate = Curate.defaultRates.foldLeft("10") { case (acc, (lang, pct)) =>
+        s"CASE WHEN lang = '$lang' THEN $pct ELSE $acc END"
+      }
+      s"""SELECT doc_id, lang, $b AS bucket FROM documents
+          WHERE $b < ($rate)"""
+    },
+
+    "cur_pack_shards" ->
+      s"""SELECT doc_id, source, n_tokens,
+          CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tokens) / 512.0) AS BIGINT) AS shard_idx
+          FROM (SELECT doc_id, source,
+                  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)""",
+
+    "cur_decontaminate" -> {
+      val isBench = s"${duckBucket("doc_id", "graft-bench", 20)} = 0"
+      s"""WITH shingled AS (
+            SELECT doc_id, $isBench AS is_bench, unnest($duckShingles) AS sh
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          bench AS (
+            SELECT DISTINCT sh, doc_id AS bench_doc FROM shingled WHERE is_bench)
+          SELECT c.doc_id,
+            CAST(count(DISTINCT c.sh) AS BIGINT) AS n_hits,
+            CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+          FROM shingled c JOIN bench b ON c.sh = b.sh
+          WHERE NOT c.is_bench GROUP BY c.doc_id"""
+    },
+
+    "cur_len_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         min(n_chars) AS len_min,
+         quantile_cont(n_chars, 0.25) AS len_p25,
+         quantile_cont(n_chars, 0.50) AS len_p50,
+         quantile_cont(n_chars, 0.75) AS len_p75,
+         max(n_chars) AS len_max
+         FROM documents GROUP BY lang"""
+  )
+}

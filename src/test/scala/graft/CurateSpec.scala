@@ -1,0 +1,107 @@
+package graft
+
+import graft.curate.Curate
+import org.apache.spark.sql.functions._
+
+/** Curation-operator semantics + the scale contract: split/sample are
+  * shuffle-free row-local expressions, packing shuffles once on source,
+  * decontamination broadcasts the benchmark side and never self-joins
+  * the corpus.
+  */
+class CurateSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("split is deterministic, total, and pct-shaped") {
+    val s = Curate.split(docs).cache()
+    assert(s.count() == docs.count())
+    val byKind = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 docs, 90/5/5: binomial tails make exact counts vary, but train
+    // must dominate and all three classes must appear
+    assert(byKind("train") > byKind.getOrElse("val", 0L) * 5)
+    assert(byKind.keySet == Set("train", "val", "test"))
+    // deterministic: same result twice
+    assert(Curate.split(docs).exceptAll(s).isEmpty)
+    s.unpersist()
+  }
+
+  test("split and stratified sample plan with ZERO exchanges (row-local at 100 TB)") {
+    assert(!plan(Curate.split(docs)).contains("Exchange"),
+      "split must not shuffle")
+    assert(!plan(Curate.sampleStratified(docs)).contains("Exchange"),
+      "sample must not shuffle")
+  }
+
+  test("stratified sample respects per-language rates") {
+    val kept = Curate.sampleStratified(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps 60%, es keeps 20%: at n>=80 per stratum the realized rates
+    // can't cross
+    assert(kept("en").toDouble / total("en") > kept("es").toDouble / total("es"))
+    // zh is unlisted -> default 10%: strictly under en's 60%
+    assert(kept.getOrElse("zh", 0L).toDouble / total("zh") <
+      kept("en").toDouble / total("en"))
+  }
+
+  test("packShards: shards within a source are contiguous and budget-shaped") {
+    val packed = Curate.packShards(docs, budget = 512).cache()
+    // exclusive-prefix rule: first doc of every source lands in shard 0
+    val firstShard = packed
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter(col("rk") === 1).select("shard_idx").distinct().collect()
+    assert(firstShard.map(_.getLong(0)).toSeq == Seq(0L))
+    // contiguous-fill bound: a shard spans < budget + its largest doc
+    // (a doc crossing the boundary is the only overflow; an oversized doc
+    // can also leave the NEXT shard undershot — both are the documented
+    // approximation, but nothing may exceed this bound)
+    val shardTotals = packed.groupBy("source", "shard_idx")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+    assert(shardTotals.filter(col("tok") >= lit(512) + col("mx")).count() == 0,
+      "a shard exceeded budget + its largest document")
+    // plan: exactly one hash exchange (on source), no global sort
+    // (unpersist first — cache lookup matches the logically-equal fresh
+    // frame and its InMemoryRelation prints the plan twice)
+    packed.unpersist(blocking = true)
+    val p = plan(Curate.packShards(docs, budget = 512))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(p).hasNext,
+      s"global sort in packing plan:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark side; corpus never self-joins") {
+    val d = Curate.decontaminate(docs)
+    val p = plan(d)
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    // benchmark docs are excluded from the flagged set
+    val flagged = d.select("doc_id")
+      .join(Curate.split(docs), "doc_id") // any frame carrying doc_id
+    val benchIds = docs.filter(Curate.isBenchmark()).select("doc_id")
+    assert(d.join(benchIds, "doc_id").count() == 0,
+      "benchmark docs must not flag themselves")
+    assert(d.filter(col("n_hits") < 1).count() == 0)
+  }
+
+  test("lengthQuantiles: quartiles ordered, counts match strata") {
+    val q = Curate.lengthQuantiles(docs).collect()
+    assert(q.length == 5) // en/de/fr/es/zh
+    q.foreach { r =>
+      val (mn, p25, p50, p75, mx) = (r.getAs[Long]("len_min").toDouble,
+        r.getAs[Double]("len_p25"), r.getAs[Double]("len_p50"),
+        r.getAs[Double]("len_p75"), r.getAs[Long]("len_max").toDouble)
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx,
+        s"quartiles out of order for ${r.getAs[String]("lang")}")
+    }
+    assert(q.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+}
