@@ -97,27 +97,31 @@ object Curate {
     bucket(col("doc_id"), salt, 20) === 0
 
   /** Benchmark decontamination: flag corpus documents sharing any token
-    * 3-gram shingle with a benchmark document — the n-gram-overlap
+    * 3-gram shingle with the benchmark set — the n-gram-overlap
     * contamination check run before training on any crawl.
     *
     * Scale shape: the benchmark side (eval suites; thousands of docs, not
-    * billions) reduces to a DISTINCT shingle-hash set and BROADCASTS into
-    * the corpus-side explode — the corpus is never shuffled and never
-    * self-joined; cost is one pass over corpus shingles + a map-side
-    * semi-join, then a partial-agg count per doc.
-    * Output: contaminated (doc_id, n_hits = distinct shared shingles,
-    * n_bench_docs = distinct benchmark docs hit).
+    * billions) reduces to a DISTINCT shingle SET — one row per shingle, so
+    * the join multiplies nothing — and BROADCASTS into the corpus-side
+    * explode; the corpus is never shuffled and never self-joined. Per-doc
+    * shingles are already distinct, so the agg is a plain count (no
+    * count-distinct Expand). At 100 TB the broadcast set becomes a bloom
+    * filter with identical query shape. Carrying n_shingles makes the
+    * contamination RATIO derivable downstream.
+    * Output: contaminated (doc_id, n_shingles, n_hits).
     */
   def decontaminate(docs: DataFrame, salt: String = "graft-bench"): DataFrame = {
     val shingled = docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
-      explode(Dedup.shingles(col("text"))).as("sh"))
+      Dedup.shingles(col("text")).as("shs"))
     val benchSh = shingled.filter(col("is_bench"))
-      .select(col("sh"), col("doc_id").as("bench_doc")).distinct()
+      .select(explode(col("shs")).as("sh")).distinct()
     shingled.filter(!col("is_bench"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("sh"))
       .join(broadcast(benchSh), "sh")
       .groupBy("doc_id")
-      .agg(count_distinct(col("sh")).as("n_hits"),
-        count_distinct(col("bench_doc")).as("n_bench_docs"))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_hits"))
   }
 
   /** Exact length-distribution quartiles per language — the numbers a

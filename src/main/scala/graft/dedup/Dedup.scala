@@ -36,13 +36,12 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
 
-  /** Distinct token 3-gram shingles of `text`. */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-  }
+  /** Distinct token 3-gram shingles of `text`, via the fused one-pass
+    * [[graft.functions.ShingleSet]] (the HOF formulation evaluates
+    * interpreted per element — 10.6 s to shingle 5 k docs at sf0.1).
+    */
+  def shingles(text: Column): Column =
+    graft.functions.ShingleSet(TextAnalysis.tokens(text))
 
   /** (doc_id, sig): MinHash signatures — shingling + hashing + all
     * permutation minima fused into one compiled expression

@@ -56,16 +56,18 @@ object CuratePack extends QueryPack {
     "cur_decontaminate" -> {
       val isBench = s"${duckBucket("doc_id", "graft-bench", 20)} = 0"
       s"""WITH shingled AS (
-            SELECT doc_id, $isBench AS is_bench, unnest($duckShingles) AS sh
+            SELECT doc_id, $isBench AS is_bench, $duckShingles AS shs
             FROM (SELECT doc_id, $duckToks AS toks FROM documents)
             WHERE len(toks) >= 3),
           bench AS (
-            SELECT DISTINCT sh, doc_id AS bench_doc FROM shingled WHERE is_bench)
-          SELECT c.doc_id,
-            CAST(count(DISTINCT c.sh) AS BIGINT) AS n_hits,
-            CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
-          FROM shingled c JOIN bench b ON c.sh = b.sh
-          WHERE NOT c.is_bench GROUP BY c.doc_id"""
+            SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE is_bench),
+          corpus AS (
+            SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_shingles,
+              unnest(shs) AS sh FROM shingled WHERE NOT is_bench)
+          SELECT c.doc_id, min(c.n_shingles) AS n_shingles,
+            CAST(count(*) AS BIGINT) AS n_hits
+          FROM corpus c JOIN bench b ON c.sh = b.sh
+          GROUP BY c.doc_id"""
     },
 
     "cur_len_quantiles" ->
