@@ -105,4 +105,27 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("fused ShingleSet ≡ HOF array_distinct/transform formulation") {
+    import org.apache.spark.sql.functions._
+    // arbitrary token soups incl. dups, <3 tokens, unicode, empties
+    val docGen = SGen.listOf(SGen.frequency(
+      5 -> SGen.oneOf("a", "b", "ab", "the", "héllo", "世界"),
+      2 -> SGen.alphaNumStr.suchThat(_.nonEmpty))).map(_.mkString(" "))
+    val texts = samples(docGen, 120) :+ "" :+ "one" :+ "one two" :+ "a a a a"
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val toks = split(trim(col("text")), "\\s+")
+    val hof = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+    val rows = df.select(
+      graft.dedup.Dedup.shingles(col("text")).as("fused"),
+      when(size(toks) >= 3, hof).otherwise(array()).as("builtin")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fused=${r.getSeq[String](0)} builtin=${r.getSeq[String](1)}")
+    }
+  }
 }
