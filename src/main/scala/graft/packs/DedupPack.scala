@@ -144,12 +144,18 @@ object DedupPack extends QueryPack {
             SELECT e.x, rc.r FROM edges e JOIN reach rc ON rc.x = e.y)
           SELECT x AS doc_id, min(r) AS keeper FROM reach GROUP BY x""",
 
-    // banded SimHash candidates: 8×8-bit bands, equi-join, exact hamming
+    // SimHash candidates keyed on band PAIRS: C(8,2)=28 16-bit keys
+    // (mirrors Dedup.simhashCandidates' block-combination indexing)
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($duckSimhash),
           banded AS (
-            SELECT doc_id, sh64, b.band, (sh64 >> (b.band * 8)) & 255 AS key
-            FROM sh, (SELECT unnest(range(0, 8)) AS band) b),
+            SELECT doc_id, sh64, bp.i * 8 + bp.j AS band,
+              ((sh64 >> (bp.i * 8)) & 255) * 256
+                + ((sh64 >> (bp.j * 8)) & 255) AS key
+            FROM sh, (SELECT ii.i, jj.j
+                      FROM (SELECT unnest(range(0, 8)) AS i) ii,
+                           (SELECT unnest(range(0, 8)) AS j) jj
+                      WHERE ii.i < jj.j) bp),
           cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
               l.sh64 AS sh_a, r.sh64 AS sh_b
             FROM banded l JOIN banded r

@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(k => got(k) == k))
   }
 
+  test("band-pair simhash candidates: full recall of hamming <= 6 vs brute-force all-pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.simhashDocs(docs)
+    val a = sh.select(col("doc_id").as("a"), col("sh64").as("ha"))
+    val b = sh.select(col("doc_id").as("b"), col("sh64").as("hb"))
+    val truth = a.join(b, col("a") < col("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+      .select("a", "b")
+    val cand = Dedup.simhashCandidates(docs).select("a", "b")
+    assert(truth.count() > 0, "corpus should contain near-dup fingerprints")
+    assert(truth.exceptAll(cand).isEmpty,
+      "a true hamming<=6 pair escaped the C(8,2) band-pair index")
+    // and the guarantee's precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, maxHamming = 7)
+    }
+  }
+
   test("maxIters too small for the diameter fails loudly, never silently partial") {
     val chain = (1L to 10L).map(i => (i, i + 1))
     val e = intercept[IllegalArgumentException](resolve(chain, maxIters = 2))
