@@ -59,24 +59,14 @@ object Similarity {
       .select(col("q"), col("rank"), col("neighbor"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-0.5, 0.5). Engine-portable.
-    */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"p$plane-"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)) - 0.5
 
-  /** Sign-random-projection bucket id: one bit per hyperplane. */
-  def lshBucket(embDouble: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(embDouble, sequence(lit(1), size(embDouble)),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-random-projection bucket id: one bit per hyperplane, via the
+    * fused [[graft.functions.SrpBucket]] loop (the HOF form re-derived
+    * the md5 plane constant per row×plane×element, interpreted — see the
+    * expression's Scaladoc; fold order and bucket values are identical).
+    */
+  def lshBucket(embDouble: Column, nPlanes: Int): Column =
+    graft.functions.SrpBucket(embDouble, nPlanes)
 
   /** (vec_id, bucket) for the whole corpus. */
   def lshBuckets(emb: DataFrame, nPlanes: Int = 8): DataFrame =

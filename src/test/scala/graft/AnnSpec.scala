@@ -10,6 +10,36 @@ class AnnSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("fused SrpBucket ≡ HOF zip_with/aggregate plane projection") {
+    // the md5-plane HOF formulation SrpBucket replaced (and the DuckDB
+    // oracles still mirror) — rebuilt here as the reference
+    def planeComponent(plane: Int, d: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"p$plane-"), d.cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)) - 0.5
+    def hofBucket(embDouble: org.apache.spark.sql.Column, nPlanes: Int) =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(embDouble, sequence(lit(1), size(embDouble)),
+            (x, i) => x * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    for (nPlanes <- Seq(1, 6, 8)) {
+      val rows = emb.select(
+        graft.functions.SrpBucket(e, nPlanes).as("fused"),
+        hofBucket(e, nPlanes).as("hof")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"nPlanes=$nPlanes fused=${r.getLong(0)} hof=${r.getLong(1)}"))
+    }
+    // degenerate inputs: null element ⇒ 0 bits; empty array ⇒ all bits
+    import spark.implicits._
+    val edge = Seq(Seq[java.lang.Double](1.0, null, 2.0), Seq.empty[java.lang.Double])
+      .toDF("v").select(graft.functions.SrpBucket(col("v"), 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(edge.toSeq == Seq(0L, 63L))
+  }
+
   test("trainCentroids: configurable K, no empty clusters, deterministic across runs") {
     val c1 = Similarity.trainCentroids(emb, k = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
