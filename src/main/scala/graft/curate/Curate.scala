@@ -124,6 +124,22 @@ object Curate {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Repetition-based quality signal: the fraction of duplicated token
+    * 3-grams (1 − distinct/total), the classic rule-based filter for
+    * looping/boilerplate text. Integer numerators keep the oracle
+    * bit-exact; `is_repetitive` flags ≥ 30% duplicated 3-grams.
+    * Row-local (one fused [[graft.functions.ShingleSet]] pass inside the
+    * scan, zero shuffle).
+    * Output: (doc_id, n_grams, n_distinct, is_repetitive).
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val total = greatest(size(toks) - 2, lit(0)).cast("long")
+    val distinctG = size(Dedup.shingles(col("text"))).cast("long")
+    docs.select(col("doc_id"), total.as("n_grams"), distinctG.as("n_distinct"),
+      ((total - distinctG) * 10 >= total * 3).cast("int").as("is_repetitive"))
+  }
+
   /** Exact length-distribution quartiles per language — the numbers a
     * length-filter threshold is tuned from. Exact `percentile` (not
     * approx) keeps the oracle bit-exact; at 100 TB swap in

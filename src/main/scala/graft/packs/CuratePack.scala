@@ -25,6 +25,7 @@ object CuratePack extends QueryPack {
     "cur_sample_stratified" -> ((s, dir) => Curate.sampleStratified(docs(s, dir))),
     "cur_pack_shards" -> ((s, dir) => Curate.packShards(docs(s, dir))),
     "cur_decontaminate" -> ((s, dir) => Curate.decontaminate(docs(s, dir))),
+    "cur_repetition" -> ((s, dir) => Curate.repetition(docs(s, dir))),
     "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir)))
   )
 
@@ -69,6 +70,23 @@ object CuratePack extends QueryPack {
           FROM corpus c JOIN bench b ON c.sh = b.sh
           GROUP BY c.doc_id"""
     },
+
+    "cur_repetition" ->
+      s"""SELECT doc_id,
+          CAST(greatest(len($duckToks) - 2, 0) AS BIGINT) AS n_grams,
+          CAST(CASE WHEN len($duckToks) >= 3
+            THEN len(list_distinct(list_transform(
+              range(1, len($duckToks) - 1),
+              i -> ($duckToks)[i] || ' ' || ($duckToks)[i+1] || ' ' || ($duckToks)[i+2])))
+            ELSE 0 END AS BIGINT) AS n_distinct,
+          CAST(CASE WHEN (greatest(len($duckToks) - 2, 0)
+                - CASE WHEN len($duckToks) >= 3
+                  THEN len(list_distinct(list_transform(
+                    range(1, len($duckToks) - 1),
+                    i -> ($duckToks)[i] || ' ' || ($duckToks)[i+1] || ' ' || ($duckToks)[i+2])))
+                  ELSE 0 END) * 10 >= greatest(len($duckToks) - 2, 0) * 3
+            THEN 1 ELSE 0 END AS INT) AS is_repetitive
+          FROM documents""",
 
     "cur_len_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -17,7 +17,8 @@ object TextPack extends QueryPack {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
-    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir)))
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir)))
   )
 
   def oracleSql = Map(
@@ -50,6 +51,13 @@ object TextPack extends QueryPack {
     "text_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS fp
-          FROM documents"""
+          FROM documents""",
+
+    "text_vocab" ->
+      s"""SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank
+          FROM (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest($duckToks) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50)"""
   )
 }

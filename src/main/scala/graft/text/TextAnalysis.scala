@@ -71,4 +71,20 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
+
+  /** Corpus vocabulary frequency table, top `k` by exact count with a
+    * deterministic tie-break (token asc) — the tokenizer-training /
+    * stopword-mining view of the corpus. One explode + partial-aggregated
+    * count + distributed top-N (`orderBy.limit` plans as
+    * TakeOrderedAndProject — never a global sort of the vocabulary).
+    * Output: (token, n, rank).
+    */
+  def vocab(docs: DataFrame, k: Int = 50): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+    counts.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)))
+  }
 }

@@ -92,6 +92,28 @@ class CurateSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("repetition: zero-shuffle plan, bounds hold, flag matches ratio rule") {
+    val r = Curate.repetition(docs)
+    assert(!plan(r).contains("Exchange"), "repetition must be row-local")
+    val rows = r.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { x =>
+      val (g, d, f) = (x.getAs[Long]("n_grams"), x.getAs[Long]("n_distinct"),
+        x.getAs[Int]("is_repetitive"))
+      assert(d <= g && d >= 0)
+      assert(f == (if ((g - d) * 10 >= g * 3) 1 else 0))
+    }
+  }
+
+  test("vocab: exact counts conserve the token total; top-N never global-sorts the corpus") {
+    import graft.text.TextAnalysis
+    val v = TextAnalysis.vocab(docs, k = 1000) // k > vocab size: full table
+    val total = docs.select(sum(size(TextAnalysis.tokens(col("text"))))).collect()(0).getLong(0)
+    assert(v.agg(sum("n")).collect()(0).getLong(0) == total)
+    val p = plan(TextAnalysis.vocab(docs, k = 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must be distributed:\n$p")
+  }
+
   test("lengthQuantiles: quartiles ordered, counts match strata") {
     val q = Curate.lengthQuantiles(docs).collect()
     assert(q.length == 5) // en/de/fr/es/zh
