@@ -89,6 +89,35 @@ object Curate {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }
 
+  /** [[packShards]] with the hot-source guard applied: a giant source's
+    * window no longer serializes on one partition. Documents split into
+    * deterministic doc_id-range blocks (`floor(doc_id / blockSize)` —
+    * monotone in the pack order, so blocks are contiguous); the running
+    * token count is computed per (source, block), then shifted by the
+    * per-source exclusive prefix sum of BLOCK totals — a window over
+    * #blocks rows, not #docs — exactly the
+    * [[graft.operators.TxnStamp.stampSalted]] backfill shape. Output is
+    * byte-identical to [[packShards]] (spec-asserted).
+    */
+  def packShardsSalted(docs: DataFrame, budget: Long = 512,
+      blockSize: Long = 65536): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / blockSize))
+    val wLocal = Window.partitionBy("source", "block").orderBy("doc_id")
+    val local = base.withColumn("cum_local", sum(col("n_tokens")).over(wLocal))
+    val wBlocks = Window.partitionBy("source").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("source", "block")
+      .agg(sum(col("n_tokens")).as("block_total"))
+      .withColumn("offset", coalesce(sum(col("block_total")).over(wBlocks), lit(0L)))
+      .select(col("source"), col("block"), col("offset"))
+    local.join(offsets, Seq("source", "block"))
+      .withColumn("shard_idx",
+        floor((col("offset") + col("cum_local") - col("n_tokens")) / budget))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_idx"))
+  }
+
   /** Deterministic stand-in benchmark membership: every 20th hash bucket.
     * In production this is the published eval set; the sandbox corpus has
     * none, so membership is derived portably from the same hash family.

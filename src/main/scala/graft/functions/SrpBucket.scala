@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * per task and buckets at ~ns/element, the CosineSim/MinHashSig
   * fusion pattern.
   */
-case class SrpBucket(child: Expression, nPlanes: Int)
+case class SrpBucket(child: Expression, nPlanes: Int, planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -48,7 +48,7 @@ case class SrpBucket(child: Expression, nPlanes: Int)
 
   private def ensure(dim: Int): Unit = {
     if (dim > compDim) {
-      comps = Array.tabulate(nPlanes, dim)((p, i) => component(p, i + 1))
+      comps = Array.tabulate(nPlanes, dim)((p, i) => component(p + planeOffset, i + 1))
       compDim = dim
     }
   }
@@ -80,10 +80,16 @@ case class SrpBucket(child: Expression, nPlanes: Int)
 }
 
 object SrpBucket {
-  /** Column API, self-contained; input: array<double> embedding. */
-  def apply(embDouble: Column, nPlanes: Int): Column = {
+  /** Column API, self-contained; input: array<double> embedding.
+    * `planeOffset` selects an independent hyperplane family per LSH
+    * table (table t of width w uses planes [t*w, (t+1)*w)).
+    */
+  def apply(embDouble: Column, nPlanes: Int): Column =
+    apply(embDouble, nPlanes, 0)
+
+  def apply(embDouble: Column, nPlanes: Int, planeOffset: Int): Column = {
     import org.apache.spark.sql.GraftExpressionBridge
     GraftExpressionBridge.column(
-      SrpBucket(GraftExpressionBridge.expression(embDouble), nPlanes))
+      SrpBucket(GraftExpressionBridge.expression(embDouble), nPlanes, planeOffset))
   }
 }

@@ -22,11 +22,11 @@ object AnnPack extends QueryPack {
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   /** DuckDB: deterministic hyperplane projection sign bits (mirrors
-    * [[Similarity.lshBucket]]).
+    * [[Similarity.lshBucket]]; `planeOffset` = multi-table plane family).
     */
-  private def duckBucket(embCol: String, nPlanes: Int): String = {
+  private def duckBucket(embCol: String, nPlanes: Int, planeOffset: Int = 0): String = {
     val bits = (0 until nPlanes).map { p =>
-      val comp = s"((('0x' || substr(md5('p$p-' || CAST(i AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) - 0.5)"
+      val comp = s"((('0x' || substr(md5('p${p + planeOffset}-' || CAST(i AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) - 0.5)"
       val proj = s"list_reduce(list_transform($embCol, (x, i) -> x * $comp), (p1, p2) -> p1 + p2)"
       s"CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
@@ -52,6 +52,18 @@ object AnnPack extends QueryPack {
       val ivf = Similarity.ivfTopK(emb(s, dir), QueryIds, TopK)
         .select(col("q"), col("neighbor"), lit(1).as("hit"))
       brute.join(ivf, Seq("q", "neighbor"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
+          count(lit(1)).cast("int").as("k"))
+    }),
+    // recall@k of multi-table LSH (8 tables × 4 planes) vs brute force —
+    // the table-count recall knob quantified, same shape as ann_ivf_recall
+    "ann_lsh_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"))
+      val lsh = Similarity.lshTopKMulti(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"), lit(1).as("hit"))
+      brute.join(lsh, Seq("q", "neighbor"), "left")
         .groupBy("q")
         .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
           count(lit(1)).cast("int").as("k"))
@@ -135,6 +147,31 @@ object AnnPack extends QueryPack {
             CAST(count(*) AS INT) AS k
           FROM brute b LEFT JOIN ivf v ON b.q = v.q AND b.neighbor = v.neighbor
           GROUP BY b.q""",
+
+    "ann_lsh_recall" -> {
+      val tables = (0 until 8).map(t =>
+        s"SELECT vec_id, $t AS t, ${duckBucket("emb", 4, t * 4)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckBruteCtes,
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          tabled AS ($tables),
+          cand AS (SELECT DISTINCT qt.vec_id AS q, ct.vec_id AS neighbor
+            FROM tabled qt JOIN tabled ct ON qt.t = ct.t AND qt.bucket = ct.bucket
+            WHERE qt.vec_id IN (${QueryIds.mkString(", ")})
+              AND ct.vec_id <> qt.vec_id),
+          lsh AS (SELECT q, neighbor FROM (
+            SELECT c.q, c.neighbor,
+              row_number() OVER (PARTITION BY c.q
+                ORDER BY ${duckCos("qe.emb", "ne.emb")} DESC, c.neighbor ASC) AS rank
+            FROM cand c JOIN e qe ON qe.vec_id = c.q
+                        JOIN e ne ON ne.vec_id = c.neighbor)
+          WHERE rank <= $TopK)
+          SELECT b.q,
+            CAST(SUM(CASE WHEN v.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+            CAST(count(*) AS INT) AS k
+          FROM brute b LEFT JOIN lsh v ON b.q = v.q AND b.neighbor = v.neighbor
+          GROUP BY b.q"""
+    },
 
     "ann_cosine_neardup" ->
       s"""WITH b AS (SELECT vec_id, emb, ${duckBucket("emb", NearDupPlanes)} AS bucket

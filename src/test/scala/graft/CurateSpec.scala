@@ -78,6 +78,21 @@ class CurateSpec extends SparkSpec {
       s"global sort in packing plan:\n$p")
   }
 
+  test("packShardsSalted ≡ packShards (hot-source block split changes nothing)") {
+    // blockSize 64 on 500 docs -> ~8 blocks per source: the block-offset
+    // join path is genuinely exercised
+    val plain = Curate.packShards(docs, budget = 512)
+    val salted = Curate.packShardsSalted(docs, budget = 512, blockSize = 64)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted packing must be byte-identical to the single-window form")
+    // scale shape: the per-doc window partitions by (source, block) — the
+    // only full-width exchange keys both columns; no global sort
+    val p = plan(Curate.packShardsSalted(docs, budget = 512, blockSize = 64))
+    assert(p.contains("hashpartitioning(source") && p.contains("block"),
+      s"expected (source, block) exchange:\n$p")
+    assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(p).hasNext, p)
+  }
+
   test("decontaminate broadcasts the benchmark side; corpus never self-joins") {
     val d = Curate.decontaminate(docs)
     val p = plan(d)
