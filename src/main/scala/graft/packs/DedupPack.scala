@@ -89,13 +89,38 @@ object DedupPack extends QueryPack {
       Dedup.minhashCandidates(docs(s, dir), maxBucket = Int.MaxValue)),
     // pair graph -> keeper per doc (the actual dedup decision)
     "dedup_resolve" -> ((s, dir) =>
-      Dedup.resolveKeepers(Dedup.minhashCandidates(docs(s, dir))))
+      Dedup.resolveKeepers(Dedup.minhashCandidates(docs(s, dir))),
+    ),
+    // streaming exact dedup on ingest: the documents table replayed
+    // through a parquet file source (fully distributed, nothing
+    // collected), deduped continuously by content hash. Deterministic
+    // because only the hash survives the projection.
+    "dedup_stream_exact" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // file sources stream DIRECTORIES; documents.parquet is a single
+      // file, so stream its parent with a glob filter (no data copy)
+      val input = s.readStream
+        .schema(docs(s, dir).schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = graft.streaming.StreamingPipeline.dedupStream(input)
+        .writeStream.format("memory").queryName("dedup_stream_exact")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table("dedup_stream_exact")
+    })
   )
 
   def oracleSql = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n,
          min(doc_id) AS keeper FROM documents GROUP BY 1""",
+
+    "dedup_stream_exact" ->
+      "SELECT DISTINCT md5(text) AS h FROM documents",
 
     "dedup_minhash_bands" ->
       s"$duckMinhashCtes SELECT doc_id, band_idx, band_hash FROM bands",

@@ -128,6 +128,28 @@ object StreamingPipeline {
       .start(outDir)
   }
 
+  /** Streaming exact dedup on ingest — "never admit the same document
+    * twice" as a continuous query. Projects to the content hash FIRST so
+    * the emitted set is deterministic (`dropDuplicates` keeps an arbitrary
+    * first-arrival row; the hash-only projection makes every survivor
+    * identical) and the dedup state stores a 32-byte key per distinct doc,
+    * not the document. With `withinWatermark` set, state is bounded to the
+    * event-time window (`dropDuplicatesWithinWatermark`) — the production
+    * mode at an unbounded 100 TB ingest; unset keeps exact global dedup
+    * for bounded replays.
+    * Output: one row per distinct content hash (h).
+    */
+  def dedupStream(docsStream: DataFrame, tsCol: String = "ts",
+      withinWatermark: Option[String] = None): DataFrame =
+    withinWatermark match {
+      case Some(w) =>
+        docsStream.select(md5(col("text")).as("h"), col(tsCol).as("event_ts"))
+          .withWatermark("event_ts", w)
+          .dropDuplicatesWithinWatermark("h").select("h")
+      case None =>
+        docsStream.select(md5(col("text")).as("h")).dropDuplicates("h")
+    }
+
   /** Watermarked per-sink windowed counts — the streaming aggregate stage. */
   def windowedSinkCounts(routedStream: DataFrame, window_ : String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =

@@ -147,4 +147,43 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("routed_nodrain").isEmpty)
     } finally q.stop()
   }
+
+  test("streaming dedup: exact mode admits each content hash once; watermarked mode bounds state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exact (unbounded) mode: dupes across micro-batches never re-emit
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(turn("d1", 1, "same doc"), turn("d2", 1, "same doc"),
+        turn("d3", 1, "other doc"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream_t").count() == 2)
+      input.addData(turn("d4", 1, "same doc"), turn("d5", 1, "third doc"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream_t").count() == 3,
+        "cross-batch duplicate must not re-emit")
+    } finally q.stop()
+    // watermarked mode: plan carries the within-watermark dedup operator
+    // (state bounded by event time — the unbounded-ingest production mode)
+    val input2 = MemoryStream[Turn]
+    val q2 = StreamingPipeline.dedupStream(input2.toDF(),
+        withinWatermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_stream_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input2.addData(turn("w1", 1, "wm doc"), turn("w2", 1, "wm doc"))
+      q2.processAllAvailable()
+      assert(spark.table("dedup_stream_wm").count() == 1)
+      assert(q2.lastProgress.stateOperators.asScala.exists(
+        _.operatorName.toLowerCase.contains("dedupe")))
+    } finally q2.stop()
+  }
+
+  private implicit class ArrAsScala[A](a: Array[A]) {
+    def asScala: Seq[A] = a.toSeq
+  }
 }
