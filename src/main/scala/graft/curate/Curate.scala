@@ -153,6 +153,28 @@ object Curate {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Context-length chunking: split each document into consecutive
+    * `maxTokens`-token chunks — the step that fits documents to a model's
+    * context window before packing. Row-local (sequence + explode inside
+    * the scan, zero shuffle); chunk boundaries are token-index ranges so
+    * the operation is reversible and deterministic.
+    * Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunk(docs: DataFrame, maxTokens: Int = 64): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / maxTokens).cast("int"))).as("chunk_idx"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(size(col("toks")) - col("chunk_idx") * maxTokens,
+          lit(maxTokens)).cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"),
+          (col("chunk_idx") * maxTokens + 1).cast("int"), lit(maxTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Repetition-based quality signal: the fraction of duplicated token
     * 3-grams (1 − distinct/total), the classic rule-based filter for
     * looping/boilerplate text. Integer numerators keep the oracle

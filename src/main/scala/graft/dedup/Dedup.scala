@@ -218,8 +218,45 @@ object Dedup {
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
-    var labels = edges.select(col("x")).distinct().withColumn("keeper", col("x"))
+    val init = edges.select(col("x")).distinct().withColumn("keeper", col("x"))
+    propagateMin(edges, init, maxIters)
+      .select(col("x").as("doc_id"), col("keeper"))
+  }
+
+  /** [[resolveKeepers]] with a QUALITY-priority keeper choice: each
+    * component keeps its highest-`prio` member (ties → lowest doc_id)
+    * instead of the minimum id — the production dedup decision ("keep the
+    * best duplicate", e.g. the longest or highest-quality-score copy).
+    *
+    * Same min-label fixed point, run over ORDERABLE STRUCT labels
+    * `(-prio, doc_id)` — lexicographic struct ordering makes "min label"
+    * mean "best quality, then lowest id", with zero change to the
+    * propagation's scale shape (the struct adds a constant-width column
+    * through the same edge-keyed joins). `priority`: (doc_id, prio);
+    * missing docs default to prio 0.
+    * Output: (doc_id, keeper).
+    */
+  def resolveKeepersBy(pairs: DataFrame, priority: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
+    val init = edges.select(col("x")).distinct()
+      .join(priority.select(col("doc_id").as("x"),
+        col("prio").cast("long").as("prio")), Seq("x"), "left")
+      .select(col("x"),
+        struct((-coalesce(col("prio"), lit(0L))).as("np"),
+          col("x").as("id")).as("keeper"))
+    propagateMin(edges, init, maxIters)
+      .select(col("x").as("doc_id"), col("keeper.id").as("keeper"))
+  }
+
+  /** Min-label propagation to a true fixed point over any orderable label
+    * type (see [[resolveKeepers]] for the algorithm and scale notes).
+    */
+  private def propagateMin(edges: DataFrame, init: DataFrame,
+      maxIters: Int): DataFrame = {
+    var labels = init.localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -238,7 +275,7 @@ object Dedup {
       it += 1
     }
     require(converged, s"resolveKeepers did not converge in $maxIters iterations")
-    labels.select(col("x").as("doc_id"), col("keeper"))
+    labels
   }
 
   /** (doc_id, sh64): 64-bit SimHash over the token multiset — bit j is set

@@ -26,6 +26,7 @@ object CuratePack extends QueryPack {
     "cur_pack_shards" -> ((s, dir) => Curate.packShards(docs(s, dir))),
     "cur_decontaminate" -> ((s, dir) => Curate.decontaminate(docs(s, dir))),
     "cur_repetition" -> ((s, dir) => Curate.repetition(docs(s, dir))),
+    "cur_chunk" -> ((s, dir) => Curate.chunk(docs(s, dir))),
     "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir)))
   )
 
@@ -87,6 +88,16 @@ object CuratePack extends QueryPack {
                   ELSE 0 END) * 10 >= greatest(len($duckToks) - 2, 0) * 3
             THEN 1 ELSE 0 END AS INT) AS is_repetitive
           FROM documents""",
+
+    "cur_chunk" ->
+      s"""SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+          CAST(least(len(toks) - ci * 64, 64) AS BIGINT) AS n_chunk_tokens,
+          array_to_string(list_slice(toks, ci * 64 + 1, ci * 64 + 64), ' ')
+            AS chunk_text
+          FROM (
+            SELECT doc_id, toks,
+              unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS ci
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents))""",
 
     "cur_len_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

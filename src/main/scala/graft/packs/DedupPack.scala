@@ -91,6 +91,14 @@ object DedupPack extends QueryPack {
     "dedup_resolve" -> ((s, dir) =>
       Dedup.resolveKeepers(Dedup.minhashCandidates(docs(s, dir))),
     ),
+    // quality-priority keeper: each component keeps its LONGEST member
+    // (prio = token count; ties -> lowest doc_id) — the production "keep
+    // the best duplicate" decision
+    "dedup_resolve_quality" -> ((s, dir) =>
+      Dedup.resolveKeepersBy(
+        Dedup.minhashCandidates(docs(s, dir)),
+        graft.text.TextAnalysis.tokenStats(docs(s, dir))
+          .select(col("doc_id"), col("n_tokens").as("prio")))),
     // streaming exact dedup on ingest: the documents table replayed
     // through a parquet file source (fully distributed, nothing
     // collected), deduped continuously by content hash. Deterministic
@@ -168,6 +176,25 @@ object DedupPack extends QueryPack {
             UNION
             SELECT e.x, rc.r FROM edges e JOIN reach rc ON rc.x = e.y)
           SELECT x AS doc_id, min(r) AS keeper FROM reach GROUP BY x""",
+
+    // same transitive closure, keeper = arg-max token count (tie: min id)
+    "dedup_resolve_quality" ->
+      s"""${duckMinhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          ${duckCapped(Dedup.DefaultMaxBucket)}, $duckCand,
+          edges AS (SELECT a AS x, b AS y FROM cand
+                    UNION ALL SELECT b AS x, a AS y FROM cand),
+          reach AS (
+            SELECT x, x AS r FROM (SELECT DISTINCT x FROM edges)
+            UNION
+            SELECT e.x, rc.r FROM edges e JOIN reach rc ON rc.x = e.y),
+          prio AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS p
+                   FROM documents)
+          SELECT x AS doc_id, r AS keeper FROM (
+            SELECT re.x, re.r,
+              row_number() OVER (PARTITION BY re.x
+                ORDER BY q.p DESC, re.r ASC) AS rk
+            FROM reach re JOIN prio q ON q.doc_id = re.r)
+          WHERE rk = 1""",
 
     // SimHash candidates keyed on band PAIRS: C(8,2)=28 16-bit keys
     // (mirrors Dedup.simhashCandidates' block-combination indexing)

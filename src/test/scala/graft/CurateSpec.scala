@@ -107,6 +107,25 @@ class CurateSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("chunk: reassembles to the original token stream; zero-shuffle plan") {
+    val c = Curate.chunk(docs, maxTokens = 64)
+    assert(!plan(c).contains("Exchange"), "chunking must be row-local")
+    // concatenating chunks in chunk_idx order restores the tokenized doc
+    val reassembled = c.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("joined"))
+    val original = docs.select(col("doc_id"),
+      concat_ws(" ", split(trim(col("text")), "\\s+")).as("orig"))
+    val diff = reassembled.join(original, "doc_id")
+      .filter(col("joined") =!= col("orig"))
+    assert(diff.isEmpty, "chunks must reassemble losslessly")
+    // every chunk except a doc's last is exactly maxTokens
+    val bad = c.withColumn("last", max("chunk_idx").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("chunk_idx") < col("last") && col("n_chunk_tokens") =!= 64)
+    assert(bad.isEmpty)
+  }
+
   test("repetition: zero-shuffle plan, bounds hold, flag matches ratio rule") {
     val r = Curate.repetition(docs)
     assert(!plan(r).contains("Exchange"), "repetition must be row-local")

@@ -37,6 +37,24 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(k => got(k) == k))
   }
 
+  test("quality-priority keepers: component keeps its best member, ties break to lowest id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (prio favors 3), clique 10-11-12 (tie on prio -> min id),
+    // pair 20-21 (missing prio defaults to 0 -> 20 wins on prio)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val prio = Seq((1L, 5L), (2L, 7L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (12L, 4L), (20L, 2L)).toDF("doc_id", "prio")
+    val got = Dedup.resolveKeepersBy(pairs, prio)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 3L), "chain keeps highest prio via hops")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), "prio tie -> lowest id")
+    assert(got(20L) == 20L && got(21L) == 20L, "absent prio defaults below present")
+    // every keeper keeps itself (fixed point)
+    got.values.toSet.foreach { (k: Long) => assert(got(k) == k) }
+  }
+
   test("band-pair simhash candidates: full recall of hamming <= 6 vs brute-force all-pairs") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
