@@ -281,12 +281,13 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
 
+    val pairsCompact =
+      s""""pairs":[${allPairs.map(p => pairCompact(p._1, p._2, p._3)).mkString(",")}]"""
     val scalingCompact =
-      s"""{"criterion":"(tput_4N/tput_N)/4 on the ${nSmall}->${nMid}-core pair; 8->32 reported as the documented single-socket bandwidth ceiling",""" +
+      s"""{"criterion":"(tput_4N/tput_N)/4 at ${nSmall}->${nMid} cores",""" +
       s""""turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
-      s""""turns_per_sec_n":${(benchTurns / secN).round},"turns_per_sec_4n":${(benchTurns / sec4N).round},""" +
-      s""""efficiency":$efficiency,""" +
-      s""""pairs":[${allPairs.map(p => pairCompact(p._1, p._2, p._3)).mkString(",")}]}"""
+      s""""turns_per_sec_4n":${(benchTurns / sec4N).round},""" +
+      s""""efficiency":$efficiency,$pairsCompact}"""
     val line =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qsJson(r2)},""" +
       s""""query_errors":$errJson,"sf":"$sfDir",""" +
@@ -313,20 +314,23 @@ object Bench {
     catch { case _: Throwable => () }
     // Last line of stdout, nothing after it; must clear the driver's 2 KB
     // tail window even with sbt's ~100 B epilogue following it. Tiered
-    // fallback (ADVICE r03): first drop scaling detail, then collapse
+    // fallback (ADVICE r03), degrading PROSE before graded numbers: tier 2
+    // drops the criterion text but keeps every pair's efficiency; tier 3
+    // keeps only the criterion efficiency; tier 4 additionally collapses
     // query_errors (unbounded — 200 chars × any failure count) to a count,
     // so the emitted line is bounded by the fixed query-name set alone.
-    val line2 = line.patch(line.indexOf(""","scaling":"""),
-      s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}""", line.length)
-    val line3 = {
+    def withScaling(s: String): String =
+      line.patch(line.indexOf(""","scaling":"""), s""","scaling":$s}""", line.length)
+    val line2 = withScaling(
+      s"""{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+      s""""efficiency":$efficiency,$pairsCompact}""")
+    val line3 = withScaling(s"""{"turns":$benchTurns,"efficiency":$efficiency}""")
+    val line4 = {
       // lastIndexOf: an error STRING could itself contain ',"sf":'
-      val from = line2.indexOf(""","query_errors":""")
-      val to = line2.lastIndexOf(""","sf":""")
-      line2.patch(from, s""","query_errors_n":${errors.size}""", to - from)
+      val from = line3.indexOf(""","query_errors":""")
+      val to = line3.lastIndexOf(""","sf":""")
+      line3.patch(from, s""","query_errors_n":${errors.size}""", to - from)
     }
-    println(
-      if (line.length <= 1850) line
-      else if (line2.length <= 1850) line2
-      else line3)
+    println(Seq(line, line2, line3).find(_.length <= 1850).getOrElse(line4))
   }
 }
