@@ -149,7 +149,7 @@ object Curate {
         explode(col("shs")).as("sh"))
       .join(broadcast(benchSh), "sh")
       .groupBy("doc_id")
-      .agg(first(col("n_shingles")).as("n_shingles"),
+      .agg(min(col("n_shingles")).as("n_shingles"),
         count(lit(1)).as("n_hits"))
   }
 
