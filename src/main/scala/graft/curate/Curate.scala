@@ -118,6 +118,36 @@ object Curate {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_idx"))
   }
 
+  /** Deterministic weighted corpus mixing: an interleave key that orders
+    * documents so sources appear in proportion to `weights` — the mixture
+    * step of corpus assembly (e.g. 3× source A to 1× source B), with no
+    * RNG. Each doc gets a deterministic per-source rank (by salted hash,
+    * so the order inside a source is an unbiased shuffle) and
+    * `mix_key = rank · SCALE / weight` — stride scheduling: sorting by
+    * mix_key downstream yields the weighted round-robin. Integer
+    * arithmetic end-to-end (engine-portable, no float ties).
+    *
+    * Scale: one hash shuffle on source for the rank window; the global
+    * sort-by-mix_key belongs to the consumer (Spark's range-partitioned
+    * orderBy when writing the mixed corpus).
+    * Output: (doc_id, source, rank, mix_key).
+    */
+  def mix(docs: DataFrame, weights: Map[String, Int] = Map(),
+      defaultWeight: Int = 1, salt: String = "graft-mix"): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    val weight = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, wt)) =>
+      when(col("source") === src, wt).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"),
+        bucket(col("doc_id"), salt, 1 << 30).as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("wt", weight.cast("long"))
+      // `div` = integral divide: exact at any rank (a double `/` + floor
+      // silently loses exactness past 2^53 — real at trillion-doc scale)
+      .select(col("doc_id"), col("source"), col("rank"),
+        expr("(rank * CAST(1000000 AS BIGINT)) div wt").as("mix_key"))
+  }
+
   /** Deterministic stand-in benchmark membership: every 20th hash bucket.
     * In production this is the published eval set; the sandbox corpus has
     * none, so membership is derived portably from the same hash family.

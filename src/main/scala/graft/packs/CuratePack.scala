@@ -24,6 +24,14 @@ object CuratePack extends QueryPack {
     "cur_split" -> ((s, dir) => Curate.split(docs(s, dir))),
     "cur_sample_stratified" -> ((s, dir) => Curate.sampleStratified(docs(s, dir))),
     "cur_pack_shards" -> ((s, dir) => Curate.packShards(docs(s, dir))),
+    // hot-source block-salted packing: output contract-identical to
+    // cur_pack_shards (same oracle), graded separately like the
+    // capped/uncapped minhash pair
+    "cur_pack_shards_salted" -> ((s, dir) =>
+      Curate.packShardsSalted(docs(s, dir), blockSize = 64)),
+    // weighted mixture interleave: en-heavy example weights
+    "cur_mix" -> ((s, dir) =>
+      Curate.mix(docs(s, dir), weights = Map("src0" -> 3, "src1" -> 2))),
     "cur_decontaminate" -> ((s, dir) => Curate.decontaminate(docs(s, dir))),
     "cur_repetition" -> ((s, dir) => Curate.repetition(docs(s, dir))),
     "cur_chunk" -> ((s, dir) => Curate.chunk(docs(s, dir))),
@@ -54,6 +62,26 @@ object CuratePack extends QueryPack {
                       - n_tokens) / 512.0) AS BIGINT) AS shard_idx
           FROM (SELECT doc_id, source,
                   CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)""",
+
+    // block-salted path must produce the identical packing
+    "cur_pack_shards_salted" ->
+      s"""SELECT doc_id, source, n_tokens,
+          CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tokens) / 512.0) AS BIGINT) AS shard_idx
+          FROM (SELECT doc_id, source,
+                  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)""",
+
+    "cur_mix" -> {
+      val b = duckBucket("doc_id", "graft-mix", 1 << 30)
+      s"""SELECT doc_id, source, rank,
+          (rank * 1000000) // (CASE WHEN source = 'src1' THEN 2
+                                    WHEN source = 'src0' THEN 3 ELSE 1 END)
+            AS mix_key
+          FROM (SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY $b, doc_id) AS BIGINT) AS rank
+                FROM documents)"""
+    },
 
     "cur_decontaminate" -> {
       val isBench = s"${duckBucket("doc_id", "graft-bench", 20)} = 0"

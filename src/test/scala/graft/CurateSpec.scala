@@ -148,6 +148,30 @@ class CurateSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-N must be distributed:\n$p")
   }
 
+  test("mix: weighted stride interleave — heavier sources appear proportionally earlier") {
+    val m = Curate.mix(docs, weights = Map("src0" -> 3, "src1" -> 2)).cache()
+    // per-source ranks are a clean permutation 1..n
+    val ranks = m.groupBy("source")
+      .agg(count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"),
+        count_distinct(col("rank")).as("d"))
+    assert(ranks.filter(col("mn") =!= 1 || col("mx") =!= col("n") ||
+      col("d") =!= col("n")).count() == 0)
+    // in the first 100 positions of the interleave, src0 (w=3) appears
+    // ~3x an unweighted source and src1 (w=2) ~2x
+    val top = m.orderBy("mix_key", "doc_id").limit(100)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unweighted = top.filterNot(kv => kv._1 == "src0" || kv._1 == "src1")
+    val avg1 = unweighted.values.sum.toDouble / unweighted.size
+    assert(top("src0") > 2 * avg1 && top("src0") < 4.5 * avg1,
+      s"src0=${top("src0")} vs avg unweighted $avg1")
+    assert(top("src1") > 1.3 * avg1 && top("src1") < 3 * avg1)
+    // one exchange (the per-source rank window); integral mix_key
+    m.unpersist(blocking = true)
+    val p = plan(Curate.mix(docs, weights = Map("src0" -> 3, "src1" -> 2)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("lengthQuantiles: quartiles ordered, counts match strata") {
     val q = Curate.lengthQuantiles(docs).collect()
     assert(q.length == 5) // en/de/fr/es/zh
