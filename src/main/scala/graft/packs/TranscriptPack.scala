@@ -249,7 +249,10 @@ object TranscriptPack extends QueryPack {
     // passed, which the DuckDB oracle replicates with time_bucket.
     "k4_windowed_counts" -> ((s0, dir) => {
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4, not g2's 8: this query runs TWO stateful operators (stamp +
+      // windowed agg), so store-init cost per partition doubles
+      // (measured: 3.3 s at 8 partitions, 2.7 s at 4, same rows)
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val replayDir = java.nio.file.Files
         .createTempDirectory("graft-k4-replay").toString
       turns(s, dir)
