@@ -282,18 +282,52 @@ object Similarity {
       .select(col("q"), col("rank"), col("neighbor"))
   }
 
-  /** Embedding-cosine near-duplicate pairs at `threshold`, LSH-bucketed so
-    * only same-bucket pairs are compared (the corpus never self-cross-joins).
+  /** Embedding-cosine near-duplicate pairs at `threshold`, multi-table
+    * SRP-LSH-bucketed (VERDICT r04 #1 — the single-table version reached
+    * only ~0.175 of true pairs on this corpus; `nTables` independent
+    * plane families lift per-pair recall to 1 − (1 − p^nPlanes)^nTables,
+    * measured by `ann_neardup_recall`).
+    *
+    * Scale shape — the narrow-pair discipline of
+    * [[graft.dedup.Dedup.simhashCandidates]]: the bucketed self-join
+    * exchanges only (t, bucket, vec_id) triples, candidate (a, b) pairs
+    * are DISTINCT'd while still narrow, and the full embedding arrays are
+    * joined back only once per surviving candidate for the cosine verify.
+    * The corpus never self-cross-joins and never shuffles its payload
+    * into the quadratic stage (plan-asserted in PlanSpec).
     */
-  def cosineNearDup(emb: DataFrame, threshold: Double, nPlanes: Int = 6): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", lshBucket(col("emb"), nPlanes))
-    val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("emb_a"))
-    val r = bucketed.select(col("bucket").as("bucket_r"), col("vec_id").as("b"),
-      col("emb").as("emb_b"))
-    l.join(r, l("bucket") === r("bucket_r") && l("a") < r("b"))
+  def cosineNearDup(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val tabled = base.select(col("vec_id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("emb"), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val l = tabled.select(col("t"), col("bucket"), col("vec_id").as("a"))
+    val r = tabled.select(col("t").as("t_r"), col("bucket").as("bucket_r"),
+      col("vec_id").as("b"))
+    val cand = l.join(r,
+        l("t") === r("t_r") && l("bucket") === r("bucket_r") && l("a") < r("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("vec_id").as("a"), col("emb").as("emb_a")), "a")
+      .join(base.select(col("vec_id").as("b"), col("emb").as("emb_b")), "b")
       .select(col("a"), col("b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)
+      .select("a", "b")
+  }
+
+  /** Exact near-duplicate ground truth: ALL pairs with cosine ≥
+    * `threshold` — the brute-force instrument [[cosineNearDup]]'s recall
+    * is graded against (`ann_neardup_recall`). Quadratic by definition;
+    * evidence-only, never a production path.
+    */
+  def bruteNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val l = emb.select(col("vec_id").as("a"), asDouble(col("embedding")).as("emb_a"))
+    val r = emb.select(col("vec_id").as("b"), asDouble(col("embedding")).as("emb_b"))
+    l.join(r, col("a") < col("b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select("a", "b")
   }
 }

@@ -12,7 +12,13 @@ object AnnPack extends QueryPack {
   val QueryIds: Seq[Long] = (0L until 8L)
   val TopK = 5
   val NearDupThreshold = 0.25 // the test embeddings are near-orthogonal random vectors; 0.25 is ~2σ
-  val NearDupPlanes = 6
+  // multi-table near-dup bucketing (VERDICT r04 #1): per-pair recall at
+  // the threshold ≈ 1 − (1 − p^planes)^tables with p = 1 − θ/π ≈ 0.58,
+  // graded by ann_neardup_recall (0.88 at sf0.01; 4×8 measured 0.65,
+  // 3×8 0.85 at double per-bucket candidate density — 4×16 dominates
+  // at equal total candidate volume)
+  val NearDupPlanes = 4
+  val NearDupTables = 16
 
   /** DuckDB: sequential-fold dot product of two double lists. */
   private def duckDot(a: String, b: String): String =
@@ -42,7 +48,19 @@ object AnnPack extends QueryPack {
       Similarity.ivfTopK(emb(s, dir), QueryIds, TopK)
         .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
     "ann_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDup(emb(s, dir), NearDupThreshold, NearDupPlanes)),
+      Similarity.cosineNearDup(emb(s, dir), NearDupThreshold,
+        NearDupPlanes, NearDupTables)),
+    // recall of the production near-dup operator vs brute-force ground
+    // truth (all pairs ≥ threshold) — the instrument VERDICT r04 #1 asked
+    // to point at cosineNearDup. One row: (hits, total).
+    "ann_neardup_recall" -> ((s, dir) => {
+      val truth = Similarity.bruteNearDup(emb(s, dir), NearDupThreshold)
+      val found = Similarity.cosineNearDup(emb(s, dir), NearDupThreshold,
+        NearDupPlanes, NearDupTables).withColumn("hit", lit(1))
+      truth.join(found, Seq("a", "b"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
+          count(lit(1)).cast("int").as("total"))
+    }),
     // recall@k of IVF vs the exact brute-force ranking — the number a
     // training-data pipeline tunes nProbe by (VERDICT r03 #6). Per query:
     // hits = |ivf top-k ∩ brute top-k|, k = |brute top-k|.
@@ -127,6 +145,25 @@ object AnnPack extends QueryPack {
           FROM lists JOIN probes USING (cent_id) WHERE q <> neighbor)
         WHERE rank <= $TopK)"""
 
+  /** Shared CTE chain ending in `found(a, b)` — mirrors the multi-table
+    * [[Similarity.cosineNearDup]]: per-table buckets, narrow distinct
+    * candidate pairs, cosine-verified at the threshold.
+    */
+  private val duckNearDupCtes = {
+    val tables = (0 until NearDupTables).map(t =>
+      s"SELECT vec_id, $t AS t, ${duckBucket("emb", NearDupPlanes, t * NearDupPlanes)} AS bucket FROM e")
+      .mkString(" UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        ndtabled AS ($tables),
+        ndcand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM ndtabled l JOIN ndtabled r
+            ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        found AS (SELECT c.a, c.b
+          FROM ndcand c JOIN e ea ON ea.vec_id = c.a
+                        JOIN e eb ON eb.vec_id = c.b
+          WHERE ${duckCos("ea.emb", "eb.emb")} >= $NearDupThreshold)"""
+  }
+
   def oracleSql = Map(
     "ann_brute_topk" ->
       s"""WITH $duckBruteCtes
@@ -174,10 +211,17 @@ object AnnPack extends QueryPack {
     },
 
     "ann_cosine_neardup" ->
-      s"""WITH b AS (SELECT vec_id, emb, ${duckBucket("emb", NearDupPlanes)} AS bucket
-                     FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings))
-          SELECT l.vec_id AS a, r.vec_id AS b
-          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-          WHERE ${duckCos("l.emb", "r.emb")} >= $NearDupThreshold"""
+      s"""WITH $duckNearDupCtes
+          SELECT a, b FROM found""",
+
+    "ann_neardup_recall" ->
+      s"""WITH $duckNearDupCtes,
+          truth AS (SELECT l.vec_id AS a, r.vec_id AS b
+            FROM e l JOIN e r ON l.vec_id < r.vec_id
+            WHERE ${duckCos("l.emb", "r.emb")} >= $NearDupThreshold)
+          SELECT
+            CAST(SUM(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+            CAST(count(*) AS INT) AS total
+          FROM truth t LEFT JOIN found f ON t.a = f.a AND t.b = f.b"""
   )
 }

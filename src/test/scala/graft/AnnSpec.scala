@@ -93,4 +93,21 @@ class AnnSpec extends SparkSpec {
     // lists must still beat 1/4 by a wide margin to prove list quality
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
+
+  test("cosineNearDup: found ⊆ brute truth; multi-table beats single-table recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteNearDup(emb, 0.25))
+    val multi = pairs(Similarity.cosineNearDup(emb, 0.25, nPlanes = 4, nTables = 16))
+    val single = pairs(Similarity.cosineNearDup(emb, 0.25, nPlanes = 6, nTables = 1))
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    // LSH candidates are cosine-VERIFIED, so found pairs are never false
+    assert(multi.subsetOf(truth) && single.subsetOf(truth))
+    // the r04-verdict defect in one line: 1 table misses most true pairs,
+    // tables multiply recall (1 − (1 − p^planes)^tables)
+    assert(multi.size > single.size,
+      s"multi=${multi.size} single=${single.size} truth=${truth.size}")
+    assert(multi.size * 2 >= truth.size,
+      s"multi-table recall ${multi.size.toDouble / truth.size} below 0.5")
+  }
 }

@@ -115,6 +115,30 @@ class PlanSpec extends SparkSpec {
     assert(globalSorts.isEmpty, s"global sort in training plan:\n$p")
   }
 
+  test("cosineNearDup shuffles only narrow triples into the candidate self-join (VERDICT r04 #1)") {
+    // AQE off + broadcast off: expose every exchange in the initial
+    // physical plan (AQE wraps finished stages in leaf QueryStageExecs
+    // that TreeNode traversal cannot descend into)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exec = graft.ann.Similarity.cosineNearDup(emb, 0.25)
+      .queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val bucketExchanges =
+      exchanges.filter(_.outputPartitioning.toString.contains("bucket"))
+    assert(bucketExchanges.nonEmpty, s"expected bucket-keyed exchanges:\n$exec")
+    // the quadratic stage must never carry the embedding payload: every
+    // exchange into the (t, bucket) self-join is (t, bucket, vec_id) only
+    bucketExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.typeName.startsWith("array")),
+        s"embedding array in candidate shuffle: ${e.output}\n$exec")
+    }
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
