@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real and tested — schema, partitioning,
   * batched per-partition processing (the Scala analog of `mapInPandas`:
   * mapPartitions over fixed-size batches so a vectorized decoder gets
-  * amortized calls), deterministic output schema. The actual codec is a
-  * STUB: this container ships no image/audio libraries, so `decodeBytes`
-  * derives deterministic fake samples from the payload bytes. Swapping in a
-  * real decoder changes ONE function; every schema/batch/partition decision
-  * stays.
+  * amortized calls), deterministic output schema. The IMAGE path runs a
+  * real codec: [[withPngPayload]] encodes deterministic grayscale PNGs and
+  * [[decodeImageFeatures]] decodes them with the JDK's `javax.imageio`
+  * (graded end-to-end by `mm_decode_real`). The audio/video codec remains
+  * a STUB (`decodeBytes` — no audio/video libraries in this container);
+  * swapping in a real one changes that ONE function, every
+  * schema/batch/partition decision stays.
   */
 object Multimodal {
 
@@ -47,11 +49,89 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB decoder — ??? in spirit: a real build links an image/audio codec
-    * here. Deterministic fake: the "decoded samples" are the payload bytes.
+  /** STUB decoder for audio/video — ??? in spirit: a real build links a
+    * codec here. Deterministic fake: the "decoded samples" are the payload
+    * bytes. Images use the REAL codec path below instead.
     */
   private def decodeBytes(payload: Array[Byte]): Array[Int] =
     payload.map(b => b & 0xff)
+
+  /** Deterministic generative pixel — the fixture contract shared with the
+    * DuckDB oracle. The oracle cannot decode PNG, so it recomputes expected
+    * features from THIS formula; the Spark side goes formula → PNG encode →
+    * `ImageIO.read` → pixels → features, so a green `mm_decode_real` row
+    * proves the real codec round-trips losslessly (8-bit grayscale PNG is
+    * lossless by spec).
+    */
+  def pixelAt(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Replace image payloads with real PNG bytes (grayscale, pixel(x,y) =
+    * [[pixelAt]]). Batched like the decode side: one encoder loop per
+    * `BatchSize` payloads, partition-local, no shuffle.
+    */
+  def withPngPayload(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          if (m.kind != "image") m
+          else {
+            val img = new java.awt.image.BufferedImage(
+              m.width, m.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < m.height) {
+              var x = 0
+              while (x < m.width) {
+                raster.setSample(x, y, 0, pixelAt(m.media_id, x, y)); x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            m.copy(payload = bos.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      n_pixels: Int, mean_px: Double, hist0: Int, hist1: Int, hist2: Int,
+      hist3: Int, px00: Int, px_last: Int)
+
+  /** REAL decode: `javax.imageio.ImageIO.read` on the PNG payload, then
+    * pixel-derived features. `px00`/`px_last` pin positional (row-major)
+    * correctness, not just aggregates. Width/height come from the decoded
+    * image, not the metadata columns — the codec is the source of truth.
+    */
+  def decodeImageFeatures(media: Dataset[Media]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val hist = new Array[Int](4)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = raster.getSample(x, y, 0)
+              sum += p; hist(p / 64) += 1; x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(m.media_id, w, h, w * h, sum.toDouble / (w * h),
+            hist(0), hist(1), hist(2), hist(3),
+            raster.getSample(0, 0, 0), raster.getSample(w - 1, h - 1, 0))
+        }
+      }
+    }
+  }
 
   /** Batched decode + feature extraction. Partition-local, batch-shaped:
     * `grouped(BatchSize)` hands the (stub) decoder BatchSize payloads at a

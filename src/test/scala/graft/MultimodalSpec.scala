@@ -37,6 +37,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG codec round-trip: ImageIO decode reproduces the generative pixels") {
+    val withPng = Multimodal.withPngPayload(media)
+    // payloads for images are now genuine PNGs (magic bytes)
+    val png = withPng.filter(_.kind == "image").take(3)
+    assert(png.nonEmpty)
+    png.foreach { m =>
+      val p = m.payload
+      assert((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G',
+        s"media ${m.media_id}: payload is not PNG")
+    }
+    val feats = Multimodal.decodeImageFeatures(withPng).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.px00 == Multimodal.pixelAt(f.media_id, 0, 0))
+      assert(f.px_last == Multimodal.pixelAt(f.media_id, f.width - 1, f.height - 1))
+      assert(f.hist0 + f.hist1 + f.hist2 + f.hist3 == f.n_pixels)
+      val expSum = (for (y <- 0 until f.height; x <- 0 until f.width)
+        yield Multimodal.pixelAt(f.media_id, x, y).toLong).sum
+      assert(f.mean_px == expSum.toDouble / f.n_pixels,
+        s"media ${f.media_id}: decoded mean differs from formula")
+    }
+  }
+
   test("deterministic embedding has fixed dim and reproducible values") {
     val e1 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val e2 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
