@@ -183,6 +183,51 @@ object Curate {
         count(lit(1)).as("n_hits"))
   }
 
+  /** The documented 100 TB swap for [[decontaminate]] (graded, per the
+    * capped/uncapped precedent of grading both sides of a scale knob): the
+    * benchmark shingle SET becomes a BLOOM FILTER — constant-size
+    * broadcast state (~19 bits/item at fpp 1e-4) instead of the full
+    * string set, same query shape (corpus never shuffled, membership test
+    * inside the scan).
+    *
+    * Built with Spark's own `BloomFilterAggregate` over `xxhash64`
+    * shingles (one-row aggregate collected to the driver — the
+    * `df.stat.bloomFilter` shape), then applied as a codegen'd
+    * `BloomFilterMightContain` against a binary literal — exactly what
+    * Spark's runtime bloom-join injection produces after its scalar
+    * subquery executes.
+    *
+    * Contract vs the exact path: flagged docs are a SUPERSET of
+    * [[decontaminate]]'s (bloom filters have no false negatives), with
+    * doc-level false positives bounded by ≈ n_shingles × fpp each
+    * (`cur_decontaminate_bloom` grades both properties; measured FP rate
+    * recorded in BASELINE.md).
+    */
+  def decontaminateBloom(docs: DataFrame, salt: String = "graft-bench",
+      estItems: Long = 1L << 20, fpp: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val shingled = docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
+      Dedup.shingles(col("text")).as("shs"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(estItems, fpp)
+    val bloomBytes = shingled.filter(col("is_bench"))
+      .select(explode(col("shs")).as("sh")).distinct()
+      .agg(column(new BloomFilterAggregate(expression(xxhash64(col("sh"))),
+        expression(lit(estItems)), expression(lit(numBits)))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    require(bloomBytes != null, "benchmark set is empty — nothing to build a bloom from")
+    shingled.filter(!col("is_bench"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("sh"))
+      .filter(column(BloomFilterMightContain(expression(lit(bloomBytes)),
+        expression(xxhash64(col("sh"))))))
+      .groupBy("doc_id")
+      .agg(min(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Context-length chunking: split each document into consecutive
     * `maxTokens`-token chunks — the step that fits documents to a model's
     * context window before packing. Row-local (sequence + explode inside
@@ -193,6 +238,13 @@ object Curate {
   def chunk(docs: DataFrame, maxTokens: Int = 64): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     docs.select(col("doc_id"), toks.as("toks"))
+      // degenerate guard (ADVICE r04): size() is -1 for a null token array
+      // and Spark `/` truncates toward zero where DuckDB `//` floors, so a
+      // 0-token doc would diverge between engines; excluding empty docs
+      // fixes the contract (no tokens → no chunks). Unreachable on the
+      // current corpus (trim+split of "" yields [""]), load-bearing only
+      // if the tokenizer ever changes.
+      .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         explode(sequence(lit(0),
           ((size(col("toks")) - 1) / maxTokens).cast("int"))).as("chunk_idx"),
@@ -217,8 +269,11 @@ object Curate {
     val toks = TextAnalysis.tokens(col("text"))
     val total = greatest(size(toks) - 2, lit(0)).cast("long")
     val distinctG = size(Dedup.shingles(col("text"))).cast("long")
+    // n_grams > 0 guard (ADVICE r04): a <3-token doc has 0 total and 0
+    // distinct 3-grams, and 0 >= 0 would flag every short doc repetitive
     docs.select(col("doc_id"), total.as("n_grams"), distinctG.as("n_distinct"),
-      ((total - distinctG) * 10 >= total * 3).cast("int").as("is_repetitive"))
+      (total > 0 && (total - distinctG) * 10 >= total * 3)
+        .cast("int").as("is_repetitive"))
   }
 
   /** Exact length-distribution quartiles per language — the numbers a
@@ -236,4 +291,44 @@ object Curate {
       percentile(col("n_chars"), lit(0.5)).as("len_p50"),
       percentile(col("n_chars"), lit(0.75)).as("len_p75"),
       max(col("n_chars")).as("len_max"))
+
+  /** The documented 100 TB swap for [[lengthQuantiles]], graded against an
+    * error budget (VERDICT r04 #5): `percentile_approx` (KLL-style sketch,
+    * mergeable partial agg — exact `percentile` holds every value per
+    * group in memory, which a 100 TB group cannot) with its rank-error
+    * guarantee MEASURED: for each (lang, quartile) the approx value's
+    * actual rank must land within q·n ± (n/accuracy + 1).
+    *
+    * The approx values themselves are sketch-implementation-specific, so
+    * the portable graded truth is (a) the exact quartiles, hash-matched,
+    * and (b) the measured `rank_ok` invariant — same grading pattern as
+    * `cur_decontaminate_bloom`.
+    * Output: (lang, q, n_docs, exact_val, rank_ok).
+    */
+  def lengthQuantilesApprox(docs: DataFrame, accuracy: Int = 100): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75)
+    val qArr = array(qs.map(lit): _*)
+    def unpack(df: DataFrame, arrCol: String, valName: String): DataFrame =
+      df.select(df.columns.filter(_ != arrCol).map(col) :+
+          posexplode(col(arrCol)): _*)
+        .select(df.columns.filter(_ != arrCol).map(col) :+
+          element_at(qArr, col("pos").cast("int") + 1).as("q") :+
+          col("col").as(valName): _*)
+    val appr = unpack(docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("n_chars"), qArr, lit(accuracy)).as("ap")), "ap", "v")
+    val exact = unpack(docs.groupBy("lang").agg(
+      percentile(col("n_chars"), qArr).as("ex")), "ex", "exact_val")
+    val ranks = docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(appr), "lang")
+      .groupBy(col("lang"), col("q"), col("n_docs"))
+      .agg(sum(when(col("n_chars") <= col("v"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("n_chars") < col("v"), 1L).otherwise(0L)).as("rank_lt"))
+    val target = col("q") * col("n_docs")
+    val tol = col("n_docs").cast("double") / accuracy + 1.0
+    ranks.join(exact, Seq("lang", "q"))
+      .select(col("lang"), col("q"), col("n_docs"), col("exact_val"),
+        (col("rank_le") >= target - tol && col("rank_lt") <= target + tol)
+          .cast("int").as("rank_ok"))
+  }
 }

@@ -33,9 +33,42 @@ object CuratePack extends QueryPack {
     "cur_mix" -> ((s, dir) =>
       Curate.mix(docs(s, dir), weights = Map("src0" -> 3, "src1" -> 2))),
     "cur_decontaminate" -> ((s, dir) => Curate.decontaminate(docs(s, dir))),
+    // the 100 TB bloom swap, graded (VERDICT r04 #3): Spark MEASURES the
+    // bloom path's contract against the exact path — superset coverage at
+    // doc and hit level, false-positive extras within a 1% budget — and
+    // the oracle independently recomputes the exact-side counts and
+    // asserts the invariants hold (bloom bits are engine-specific, so the
+    // invariant, not the bit pattern, is the portable truth).
+    "cur_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Curate.decontaminate(d)
+        .select(col("doc_id"), col("n_hits").as("exact_hits"))
+      val bloom = Curate.decontaminateBloom(d)
+        .select(col("doc_id").as("b_doc"), col("n_hits").as("bloom_hits"))
+      val clean = d.select(Curate.isBenchmark().as("is_bench"),
+          size(graft.dedup.Dedup.shingles(col("text"))).as("ns"))
+        .filter(!col("is_bench") && col("ns") > 0)
+        .agg(count(lit(1)).as("n_clean"))
+      exact.join(bloom, exact("doc_id") === bloom("b_doc"), "full_outer")
+        .crossJoin(clean)
+        .agg(
+          max(col("n_clean")).as("n_clean"),
+          count(col("doc_id")).as("n_contaminated"),
+          (coalesce(sum(when(col("doc_id").isNotNull && col("b_doc").isNull, 1)
+            .otherwise(0)), lit(0)) === 0).cast("int").as("covers_exact"),
+          (coalesce(sum(when(col("bloom_hits") < col("exact_hits"), 1)
+            .otherwise(0)), lit(0)) === 0).cast("int").as("hits_superset"),
+          (coalesce(sum(when(col("doc_id").isNull, 1).otherwise(0)), lit(0)) * 100
+            <= max(col("n_clean"))).cast("int").as("fp_within_budget"))
+    }),
     "cur_repetition" -> ((s, dir) => Curate.repetition(docs(s, dir))),
     "cur_chunk" -> ((s, dir) => Curate.chunk(docs(s, dir))),
-    "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir)))
+    "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir))),
+    // the 100 TB approx_percentile swap, graded against its rank-error
+    // budget (VERDICT r04 #5): exact quartiles hash-matched, approx
+    // guarantee measured as rank_ok
+    "cur_len_quantiles_approx" -> ((s, dir) =>
+      Curate.lengthQuantilesApprox(docs(s, dir)))
   )
 
   def oracleSql = Map(
@@ -100,6 +133,28 @@ object CuratePack extends QueryPack {
           GROUP BY c.doc_id"""
     },
 
+    // exact-side counts recomputed independently; the bloom-vs-exact
+    // invariants (superset, hit dominance, FP budget) are asserted as
+    // constants — the Spark side MEASURES them, so a green row means the
+    // measured invariants held
+    "cur_decontaminate_bloom" -> {
+      val isBench = s"${duckBucket("doc_id", "graft-bench", 20)} = 0"
+      s"""WITH shingled AS (
+            SELECT doc_id, $isBench AS is_bench, $duckShingles AS shs
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          bench AS (
+            SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE is_bench),
+          corpus AS (
+            SELECT doc_id, unnest(shs) AS sh FROM shingled WHERE NOT is_bench),
+          contaminated AS (
+            SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.sh = b.sh)
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM shingled WHERE NOT is_bench) AS n_clean,
+            (SELECT CAST(count(*) AS BIGINT) FROM contaminated) AS n_contaminated,
+            1 AS covers_exact, 1 AS hits_superset, 1 AS fp_within_budget"""
+    },
+
     "cur_repetition" ->
       s"""SELECT doc_id,
           CAST(greatest(len($duckToks) - 2, 0) AS BIGINT) AS n_grams,
@@ -108,7 +163,8 @@ object CuratePack extends QueryPack {
               range(1, len($duckToks) - 1),
               i -> ($duckToks)[i] || ' ' || ($duckToks)[i+1] || ' ' || ($duckToks)[i+2])))
             ELSE 0 END AS BIGINT) AS n_distinct,
-          CAST(CASE WHEN (greatest(len($duckToks) - 2, 0)
+          CAST(CASE WHEN greatest(len($duckToks) - 2, 0) > 0
+              AND (greatest(len($duckToks) - 2, 0)
                 - CASE WHEN len($duckToks) >= 3
                   THEN len(list_distinct(list_transform(
                     range(1, len($duckToks) - 1),
@@ -125,7 +181,8 @@ object CuratePack extends QueryPack {
           FROM (
             SELECT doc_id, toks,
               unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS ci
-            FROM (SELECT doc_id, $duckToks AS toks FROM documents))""",
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+            WHERE len(toks) >= 1)""",
 
     "cur_len_quantiles" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -134,6 +191,21 @@ object CuratePack extends QueryPack {
          quantile_cont(n_chars, 0.50) AS len_p50,
          quantile_cont(n_chars, 0.75) AS len_p75,
          max(n_chars) AS len_max
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+
+    // exact side recomputed; the measured rank_ok invariant asserted as a
+    // constant (the approx sketch's values are engine-specific — the
+    // guarantee, not the bit pattern, is the portable truth)
+    "cur_len_quantiles_approx" ->
+      """WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+         FROM documents GROUP BY lang)
+         SELECT lang, CAST(0.25 AS DOUBLE) AS q, n_docs, q25 AS exact_val, 1 AS rank_ok FROM a
+         UNION ALL
+         SELECT lang, CAST(0.50 AS DOUBLE), n_docs, q50, 1 FROM a
+         UNION ALL
+         SELECT lang, CAST(0.75 AS DOUBLE), n_docs, q75, 1 FROM a"""
   )
 }

@@ -107,6 +107,27 @@ class CurateSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("decontaminateBloom: no false negatives vs exact; membership test stays in the scan") {
+    val exact = Curate.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Curate.decontaminateBloom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // bloom filters have no false negatives: every exact doc flagged, with
+    // at least the exact hit count
+    exact.foreach { case (id, hits) =>
+      assert(bloom.contains(id), s"bloom missed contaminated doc $id")
+      assert(bloom(id) >= hits, s"doc $id: bloom hits ${bloom(id)} < exact $hits")
+    }
+    // FP extras bounded (1% doc budget mirrors the graded query)
+    val extras = bloom.keySet.diff(exact.keySet).size
+    assert(extras * 100 <= 500, s"$extras bloom-only docs exceeds 1% budget")
+    // no join at all on the corpus side: the bloom is a binary literal, so
+    // the membership test is a plain Filter inside the scan stage
+    val p = plan(Curate.decontaminateBloom(docs))
+    assert(!p.contains("Join") && !p.contains("Cartesian"),
+      s"bloom path must not join the corpus:\n$p")
+  }
+
   test("chunk: reassembles to the original token stream; zero-shuffle plan") {
     val c = Curate.chunk(docs, maxTokens = 64)
     assert(!plan(c).contains("Exchange"), "chunking must be row-local")
