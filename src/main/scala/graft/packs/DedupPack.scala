@@ -119,6 +119,64 @@ object DedupPack extends QueryPack {
         .start()
       try q.awaitTermination() finally q.stop()
       s.table("dedup_stream_exact")
+    }),
+    // bounded-state streaming dedup — the mode a real unbounded ingest
+    // runs (VERDICT r04 #4): dropDuplicatesWithinWatermark with a
+    // 10-minute horizon, driven through a 4-batch file-source replay whose
+    // event times exercise all three behaviors the operator must show:
+    //   batch0 @T0      all docs            → first admissions
+    //   batch1 @T0+30m  doc_id%5=0 dups     → DROPPED (state alive: the
+    //                   watermark is still T0−10m while processing)
+    //          @T0−30m  doc_id%7=3 dups     → DROPPED (late AND in state)
+    //          @T0−30m  doc_id%7=3, ' late-v' suffix (fresh hashes)
+    //                                       → ADMITTED: measured Spark
+    //                   semantic — the operator bounds dedup STATE to the
+    //                   horizon, it is not a late-data filter; a late row
+    //                   whose key is absent from state passes through
+    //   batch2 @T0+60m  doc_id%11=1, ' wm-advance' suffix (fresh hashes)
+    //                                       → admitted; advances the
+    //                   watermark past batch0's state expiry (T0+10m)
+    //   batch3 @T0+90m  doc_id%5=0 dups     → RE-ADMITTED (state evicted)
+    // The oracle is the DISTINCT-within-horizon union of the four admitted
+    // groups; the second copy of the %5 hashes in the output IS the
+    // bounded-state semantic made visible.
+    "dedup_stream_watermark" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      Replay.withReplayDir("graft-dedup-wm") { replayDir =>
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        def ts(mins: Int) =
+          (lit("2026-01-01 00:00:00").cast("timestamp").cast("long")
+            + mins * 60L).cast("timestamp")
+        val b0 = d.select(col("text"), ts(0).as("event_ts"))
+        val b1 = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("text"), ts(30).as("event_ts"))
+          .unionAll(d.filter(pmod(col("doc_id"), lit(7)) === 3)
+            .select(col("text"), ts(-30).as("event_ts")))
+          .unionAll(d.filter(pmod(col("doc_id"), lit(7)) === 3)
+            .select(concat(col("text"), lit(" late-v")).as("text"),
+              ts(-30).as("event_ts")))
+        val b2 = d.filter(pmod(col("doc_id"), lit(11)) === 1)
+          .select(concat(col("text"), lit(" wm-advance")).as("text"),
+            ts(60).as("event_ts"))
+        val b3 = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("text"), ts(90).as("event_ts"))
+        Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (df, i) =>
+          Replay.writeBatchFile(df, replayDir, f"batch$i%02d.parquet",
+            (i + 1) * 60000L)
+        }
+        val input = s.readStream.schema("text STRING, event_ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(replayDir)
+        val out = graft.streaming.StreamingPipeline.dedupStream(
+          input, "event_ts", withinWatermark = Some("10 minutes"))
+        val q = out.writeStream.format("memory").queryName("dedup_stream_wm")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("dedup_stream_wm")
+      }
     })
   )
 
@@ -129,6 +187,21 @@ object DedupPack extends QueryPack {
 
     "dedup_stream_exact" ->
       "SELECT DISTINCT md5(text) AS h FROM documents",
+
+    // first admissions + late-but-fresh admissions + heartbeat admissions
+    // + post-expiry re-admissions; batch1's in-horizon duplicates (on-time
+    // AND late) contribute nothing
+    "dedup_stream_watermark" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents
+         UNION ALL
+         SELECT DISTINCT md5(text || ' late-v') AS h FROM documents
+         WHERE doc_id % 7 = 3
+         UNION ALL
+         SELECT DISTINCT md5(text || ' wm-advance') AS h FROM documents
+         WHERE doc_id % 11 = 1
+         UNION ALL
+         SELECT DISTINCT md5(text) AS h FROM documents
+         WHERE doc_id % 5 = 0""",
 
     "dedup_minhash_bands" ->
       s"$duckMinhashCtes SELECT doc_id, band_idx, band_hash FROM bands",

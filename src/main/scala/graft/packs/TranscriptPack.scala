@@ -225,21 +225,21 @@ object TranscriptPack extends QueryPack {
       // ~100ms of store init PER PARTITION for a replay this small
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val replayDir = java.nio.file.Files
-        .createTempDirectory("graft-g2-replay").toString
-      turns(s, dir)
-        .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .write.mode("overwrite").parquet(replayDir)
-      val input = s.readStream.schema(graft.model.Model.turnsSchema)
-        .parquet(replayDir)
-      val stamped = graft.streaming.StreamingPipeline.stamped(input)
-        .select(col("conv_id"), col("turn_idx"), col("kind"), col("txn_id"))
-      val q = stamped.writeStream.format("memory").queryName("g2_stream_oracle")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      s.table("g2_stream_oracle")
+      Replay.withReplayDir("graft-g2-replay") { replayDir =>
+        turns(s, dir)
+          .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
+          .write.mode("overwrite").parquet(replayDir)
+        val input = s.readStream.schema(graft.model.Model.turnsSchema)
+          .parquet(replayDir)
+        val stamped = graft.streaming.StreamingPipeline.stamped(input)
+          .select(col("conv_id"), col("turn_idx"), col("kind"), col("txn_id"))
+        val q = stamped.writeStream.format("memory").queryName("g2_stream_oracle")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("g2_stream_oracle")
+      }
     }),
 
     // K4: the watermarked windowed streaming aggregate (VERDICT r03 #5 —
@@ -253,24 +253,24 @@ object TranscriptPack extends QueryPack {
       // windowed agg), so store-init cost per partition doubles
       // (measured: 3.3 s at 8 partitions, 2.7 s at 4, same rows)
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val replayDir = java.nio.file.Files
-        .createTempDirectory("graft-k4-replay").toString
-      turns(s, dir)
-        .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
-        .write.mode("overwrite").parquet(replayDir)
-      val input = s.readStream.schema(graft.model.Model.turnsSchema)
-        .parquet(replayDir)
-      val routed = graft.streaming.StreamingPipeline.routedStream(
-        input, Transcripts.lookup(s))
-      val counts = graft.streaming.StreamingPipeline.windowedSinkCounts(routed)
-        .select(Parse.eventTime(col("window.start")).as("win_start"),
-          col("role"), col("tool"), col("event_type"), col("n"))
-      val q = counts.writeStream.format("memory").queryName("k4_windowed")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      s.table("k4_windowed")
+      Replay.withReplayDir("graft-k4-replay") { replayDir =>
+        turns(s, dir)
+          .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
+          .write.mode("overwrite").parquet(replayDir)
+        val input = s.readStream.schema(graft.model.Model.turnsSchema)
+          .parquet(replayDir)
+        val routed = graft.streaming.StreamingPipeline.routedStream(
+          input, Transcripts.lookup(s))
+        val counts = graft.streaming.StreamingPipeline.windowedSinkCounts(routed)
+          .select(Parse.eventTime(col("window.start")).as("win_start"),
+            col("role"), col("tool"), col("event_type"), col("n"))
+        val q = counts.writeStream.format("memory").queryName("k4_windowed")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("k4_windowed")
+      }
     }),
 
     // A1: conservation ledger
