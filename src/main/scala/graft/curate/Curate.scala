@@ -75,13 +75,31 @@ object Curate {
     * packing is NP-hard and order-destroying).
     *
     * Scale: one hash shuffle on source, then a running-frame window per
-    * source partition — no global sort, no unbounded frame. At 100 TB
-    * you'd sub-salt giant sources (source, h32(doc_id) % k) exactly like
-    * [[graft.operators.TxnStamp]]'s salted path; per-source is the
-    * honest small-scale model of that.
+    * source partition — no global sort, no unbounded frame. The skew
+    * guard is DEFAULT-ON (VERDICT r04 #7, mirroring the default-on
+    * candidate-pair cap): one column-pruned count decides whether any
+    * source exceeds `hotSourceThreshold` rows, and if so the call
+    * delegates to [[packShardsSalted]] (output-identical,
+    * spec-asserted), so a giant source never serializes its window on
+    * one partition. The probe makes this entry point EAGER (it runs a
+    * count job at call time) — the price of a self-defending default.
     * Output: (doc_id, source, n_tokens, shard_idx).
     */
-  def packShards(docs: DataFrame, budget: Long = 512): DataFrame = {
+  def packShards(docs: DataFrame, budget: Long = 512,
+      hotSourceThreshold: Long = HotSourceThreshold): DataFrame = {
+    val maxRows = docs.groupBy("source").count()
+      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+    if (maxRows > hotSourceThreshold) packShardsSalted(docs, budget)
+    else packShardsPlain(docs, budget)
+  }
+
+  /** Rows per source above which [[packShards]] block-salts: sized so the
+    * plain path's single-partition window state (one long per row plus
+    * row payload) stays comfortably inside an executor task.
+    */
+  val HotSourceThreshold: Long = 4L * 1000 * 1000
+
+  private def packShardsPlain(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
     docs.select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))

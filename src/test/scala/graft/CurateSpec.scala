@@ -91,6 +91,13 @@ class CurateSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source") && p.contains("block"),
       s"expected (source, block) exchange:\n$p")
     assert(!"Sort \\[[^\\]]*\\], true".r.findAllIn(p).hasNext, p)
+    // the default-on guard: a threshold below the fixture's source sizes
+    // flips the plain entry point onto the salted path, output-identical
+    val auto = Curate.packShards(docs, budget = 512, hotSourceThreshold = 10)
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+      "auto-salted packShards must match the plain output")
+    assert(plan(auto).contains("block"),
+      "sub-threshold fixture with threshold=10 must take the salted path")
   }
 
   test("decontaminate broadcasts the benchmark side; corpus never self-joins") {
