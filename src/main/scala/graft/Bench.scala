@@ -338,17 +338,31 @@ object Bench {
     catch { case _: Throwable => () }
     // Last line of stdout, nothing after it; must clear the driver's 2 KB
     // tail window even with sbt's ~100 B epilogue following it. Tiered
-    // fallback (ADVICE r03), degrading PROSE before graded numbers: tier 2
-    // drops the criterion text but keeps every pair's efficiency; tier 3
-    // keeps only the criterion efficiency; tier 4 additionally collapses
-    // query_errors (unbounded — 200 chars × any failure count) to a count,
-    // so the emitted line is bounded by the fixed query-name set alone.
-    def withScaling(s: String): String =
-      line.patch(line.indexOf(""","scaling":"""), s""","scaling":$s}""", line.length)
-    val line2 = withScaling(
+    // fallback (ADVICE r03), degrading PROSE, then PRECISION, before
+    // graded numbers: tier 2 drops the criterion text but keeps every
+    // pair; tier 2b (new at 63 queries — tier 2 ran 69 B over) trims
+    // query seconds to one decimal and drops per-pair sec duplicates,
+    // still carrying all three pair efficiencies; tier 3 keeps only the
+    // criterion efficiency; tier 4 additionally collapses query_errors
+    // (unbounded — 200 chars × any failure count) to a count, so the
+    // emitted line is bounded by the fixed query-name set alone.
+    def withScaling(base: String, s: String): String =
+      base.patch(base.indexOf(""","scaling":"""), s""","scaling":$s}""", base.length)
+    val line2 = withScaling(line,
       s"""{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
       s""""efficiency":$efficiency,$pairsCompact}""")
-    val line3 = withScaling(s"""{"turns":$benchTurns,"efficiency":$efficiency}""")
+    val line2b = {
+      val r1 = (x: Double) => math.rint(x * 10) / 10
+      val pairsMin = allPairs.map { case (n, n4, t) =>
+        s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"efficiency":${sampler.effReported(n, n4, t)}}"""
+      }.mkString(",")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qsJson(r1)},""" +
+      s""""query_errors":$errJson,"sf":"$sfDir",""" +
+      s""""pipeline_turns_per_sec":${(benchTurns / sampler.best(points(2), benchTurns)).round},""" +
+      s""""scaling":{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+      s""""efficiency":$efficiency,"pairs":[$pairsMin]}}"""
+    }
+    val line3 = withScaling(line, s"""{"turns":$benchTurns,"efficiency":$efficiency}""")
     val line4 = {
       // lastIndexOf: an error STRING could itself contain ',"sf":'
       val from = line3.indexOf(""","query_errors":""")
@@ -356,7 +370,7 @@ object Bench {
       line3.patch(from, s""","query_errors_n":${errors.size}""", to - from)
     }
     System.err.flush()
-    realOut.println(Seq(line, line2, line3).find(_.length <= 1850).getOrElse(line4))
+    realOut.println(Seq(line, line2, line2b, line3).find(_.length <= 1850).getOrElse(line4))
     realOut.flush()
   }
 }

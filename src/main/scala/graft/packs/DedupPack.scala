@@ -142,7 +142,9 @@ object DedupPack extends QueryPack {
     // bounded-state semantic made visible.
     "dedup_stream_watermark" -> ((s0, dir) => {
       val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4 like k4: the replay runs FOUR microbatches, each paying state
+      // store init per partition, on a 500..5k-row fixture
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       Replay.withReplayDir("graft-dedup-wm") { replayDir =>
         val d = docs(s, dir).select(col("doc_id"), col("text"))
         def ts(mins: Int) =
