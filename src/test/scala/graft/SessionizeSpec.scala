@@ -33,6 +33,22 @@ class SessionizeSpec extends SparkSpec {
     assert(got(("cb", 1)) == (1L, "cb#1"))
   }
 
+  test("native session_window: merges on exact-gap touch, splits past it") {
+    val s = spark
+    import s.implicits._
+    val base = 1700000000L
+    val turns = Seq(
+      turnAt("cw", 1, base),
+      turnAt("cw", 2, base + 3600), // exact-gap touch -> merges (non-strict)
+      turnAt("cw", 3, base + 3600 + 3601) // gap > 3600 -> NEW session
+    ).toDF()
+    val got = Sessionize.sessionWindowBounds(turns, "1 hour")
+      .collect().map(r => r.getAs[Int]("first_turn") ->
+        (r.getAs[Int]("last_turn"), r.getAs[Long]("n_turns"))).toMap
+    assert(got(1) == (2, 2L)) // turns 1-2 one session (touch merged)
+    assert(got(3) == (3, 1L)) // turn 3 its own session
+  }
+
   test("sessionBounds reports envelope per session") {
     val s = spark
     import s.implicits._
