@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
       s"sessionize must reuse the stamping exchange, found $hashExchanges:\n$p")
   }
 
+  test("session_window bounds cost one shuffle and no window frames") {
+    val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
+    val df = graft.operators.Sessionize.sessionWindowBounds(parsed, "1 hour")
+    val p = plan(df)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"native session windows must cost one conv shuffle, found $hashExchanges:\n$p")
+    assert(!p.contains("Window"),
+      s"native session windows must not plan window frames:\n$p")
+  }
+
   test("IVF assignment never exchanges the corpus (VERDICT r02 #5)") {
     // literal centroids isolate the assignment subplan from training
     val s = spark
