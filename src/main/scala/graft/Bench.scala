@@ -16,11 +16,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Two measurements:
   *  1. `queries`: per-query wall time of every SparkEntry query on
-  *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (driver contract).
-  *     Failures are recorded as sec=-1 plus `query_errors`. This pass runs
-  *     FIRST, in a fresh parent JVM — r02 ran it after the three scaling
-  *     children and regressed 2–3× across unrelated queries (see
-  *     BASELINE.md §regression).
+  *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS] (driver contract),
+  *     TWO warm passes, per-query min (a co-tenant burst in r05's first
+  *     run inflated one single-shot number 7×; the min estimator the
+  *     scaling pass always had applies here too). Failures are recorded
+  *     as sec=-1 plus `query_errors` only when BOTH passes fail. This
+  *     pass runs FIRST, in a fresh parent JVM — r02 ran it after the
+  *     three scaling children and regressed 2–3× across unrelated
+  *     queries (see BASELINE.md §regression).
   *  2. `scaling`: the north-rule evidence — the full parse→enrich→route→
   *     aggregate pipeline over an identical synthetic transcript table
   *     (deterministic, spark.range-generated, 2% hot-conversation skew)
@@ -167,6 +170,70 @@ object Bench {
       math.min(1.0, eff(n, n4, t))
   }
 
+  /** One scaling pair's graded numbers, as fed to [[stdoutLine]]. */
+  private[graft] case class PairStat(n: Int, n4: Int, turns: Long,
+      secN: Double, sec4N: Double, eff: Double)
+
+  /** Tiered compact-line construction for the graded stdout tail. The
+    * round driver keeps only ~2 KB of run output (r01/r02 shipped
+    * `parsed: null` by blowing it), so the selected line must stay under
+    * 1850 B with sbt's ~100 B epilogue after it. Tiers degrade PROSE,
+    * then PRECISION, before graded numbers (ADVICE r03): tier 2 drops the
+    * criterion text but keeps every pair; tier 2b trims query seconds to
+    * one decimal and compresses each pair to `"N->4N@turns": efficiency`
+    * (the key carries the pair's shape, the value its graded number —
+    * ~120 B cheaper than the object form, which at 65 queries landed the
+    * old tier 2b at exactly the budget boundary); tier 3 keeps only the
+    * criterion efficiency; tier 4 additionally collapses query_errors
+    * (unbounded — 200 chars × any failure count) to a count, so the
+    * emitted line is bounded by the fixed query-name set alone.
+    *
+    * Pure function of the measured numbers so BenchSpec can pin the
+    * budget against the LIVE SparkEntry query set: whatever tier is
+    * selected must keep every per-query second and every pair efficiency.
+    */
+  private[graft] def stdoutLine(total: Double, results: Seq[(String, Double)],
+      errors: Seq[(String, String)], sfDir: String, benchTurns: Long,
+      tps: Long, secN: Double, sec4N: Double, efficiency: Double,
+      pairs: List[PairStat], budget: Int = 1850): String = {
+    def qs(prec: Double => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + prec(v) }.mkString("{", ",", "}")
+    val errJ = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    def pairCompact(p: PairStat): String =
+      s"""{"cpus_n":${p.n},"cpus_4n":${p.n4},"turns":${p.turns},"sec_n":${r2(p.secN)},""" +
+      s""""sec_4n":${r2(p.sec4N)},"efficiency":${p.eff}}"""
+    val pairsCompact = s""""pairs":[${pairs.map(pairCompact).mkString(",")}]"""
+    val pairsDict = pairs
+      .map(p => s""""${p.n}->${p.n4}@${p.turns}":${p.eff}""").mkString("{", ",", "}")
+    def base(qsJ: String) =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsJ,""" +
+      s""""query_errors":$errJ,"sf":"$sfDir","pipeline_turns_per_sec":$tps"""
+    val line = base(qs(r2)) +
+      s""","scaling":{"criterion":"(tput_4N/tput_N)/4 at ${pairs.head.n}->${pairs.head.n4} cores",""" +
+      s""""turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+      s""""turns_per_sec_4n":${(benchTurns / sec4N).round},"efficiency":$efficiency,$pairsCompact}}"""
+    val line2 = base(qs(r2)) +
+      s""","scaling":{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+      s""""efficiency":$efficiency,$pairsCompact}}"""
+    val line2b = {
+      val r1 = (x: Double) => math.rint(x * 10) / 10
+      base(qs(r1)) +
+        s""","scaling":{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
+        s""""efficiency":$efficiency,"pairs":$pairsDict}}"""
+    }
+    val line3 = base(qs(r2)) +
+      s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}"""
+    val line4 = {
+      // lastIndexOf: an error STRING could itself contain ',"sf":'
+      val from = line3.indexOf(""","query_errors":""")
+      val to = line3.lastIndexOf(""","sf":""")
+      line3.patch(from, s""","query_errors_n":${errors.size}""", to - from)
+    }
+    Seq(line, line2, line2b, line3).find(_.length <= budget).getOrElse(line4)
+  }
+
   def main(args: Array[String]): Unit = {
     // ---- stdout hygiene (VERDICT r04 #2) ----
     // The graded JSON line must own the tail of the output: every other
@@ -213,18 +280,32 @@ object Bench {
     try graft.operators.Agg.sinkCounts(
       Pipeline.routedFromEvents(s4N, sfDir)).count()
     catch { case _: Throwable => () }
+    // TWO passes over the query set, per-query MIN — the same estimator
+    // philosophy as the scaling pass, applied to the previously single-shot
+    // per-query numbers (r04 narrative called them "upper bounds"; r05's
+    // first run proved the point when a co-tenant burst inflated one
+    // streaming query 7× and the whole tail 2-3×). Both passes share the
+    // warm JVM, so pass 2 also sheds any residual JIT from pass 1; the cost
+    // is one extra steady-state sweep (~1 min) on an ~hour-long protocol.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(s4N, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-          name -> -1.0
-      }
+    def queryPass(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(s4N, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            name -> -1.0
+        }
+      }.toMap
+    val (pass1, pass2) = (queryPass(), queryPass())
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val ok = Seq(pass1(name), pass2(name)).filter(_ >= 0)
+      if (ok.nonEmpty) errors.remove(name) // a success on either pass counts
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     s4N.stop()
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -287,9 +368,6 @@ object Bench {
     // value alongside (VERDICT r04 #3)
     val efficiency = sampler.effReported(nSmall, nMid, benchTurns)
 
-    def pairCompact(n: Int, n4: Int, t: Long): String =
-      s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"sec_n":${r2(sampler.best(n, t))},""" +
-      s""""sec_4n":${r2(sampler.best(n4, t))},"efficiency":${sampler.effReported(n, n4, t)}}"""
     def pairFull(n: Int, n4: Int, t: Long): String =
       s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"sec_n":${r3(sampler.best(n, t))},"sec_4n":${r3(sampler.best(n4, t))},""" +
       s""""turns_per_sec_n":${(t / sampler.best(n, t)).round},"turns_per_sec_4n":${(t / sampler.best(n4, t)).round},""" +
@@ -305,18 +383,6 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
 
-    val pairsCompact =
-      s""""pairs":[${allPairs.map(p => pairCompact(p._1, p._2, p._3)).mkString(",")}]"""
-    val scalingCompact =
-      s"""{"criterion":"(tput_4N/tput_N)/4 at ${nSmall}->${nMid} cores",""" +
-      s""""turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
-      s""""turns_per_sec_4n":${(benchTurns / sec4N).round},""" +
-      s""""efficiency":$efficiency,$pairsCompact}"""
-    val line =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qsJson(r2)},""" +
-      s""""query_errors":$errJson,"sf":"$sfDir",""" +
-      s""""pipeline_turns_per_sec":${(benchTurns / sampler.best(points(2), benchTurns)).round},"scaling":$scalingCompact}"""
-
     val sampleJson = sampler.samples.toSeq.sortBy { case ((c, t), _) => (t, c) }
       .map { case ((c, t), ss) =>
         s""""samples_${c}c_${t}t":${ss.map(_.json).mkString("[", ",", "]")}"""
@@ -328,7 +394,7 @@ object Bench {
       s""""efficiency":$efficiency,"efficiency_raw":${sampler.eff(nSmall, nMid, benchTurns)},""" +
       s""""pairs":[${allPairs.map(p => pairFull(p._1, p._2, p._3)).mkString(",")}],""" +
       s"""$sampleJson,""" +
-      s""""protocol":"fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops); estimator = min over ALL samples (interference only inflates wall time, so every sample upper-bounds capability); adaptive resampling until best two samples agree within 8%, bounded under noise, per-sample /proc/stat steal+idle emitted; pair 8->32 documents the single-socket memory-bandwidth ceiling and re-runs at 4x input to amortize fixed overhead (BASELINE.md)"}"""
+      s""""protocol":"per-query: two warm passes, per-query min; scaling: fresh taskset-pinned JVM + ParallelGC per point, full-size warmup then min of 2 timed runs, heap = 2g driver + 0.8125g/core (cap 28g, CompressedOops); estimator = min over ALL samples (interference only inflates wall time, so every sample upper-bounds capability); adaptive resampling until best two samples agree within 8%, bounded under noise, per-sample /proc/stat steal+idle emitted; pair 8->32 documents the single-socket memory-bandwidth ceiling and re-runs at 4x input to amortize fixed overhead (BASELINE.md)"}"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(r3)},""" +
       s""""query_errors":$errJson,"sf":"$sfDir",""" +
@@ -337,40 +403,17 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case _: Throwable => () }
     // Last line of stdout, nothing after it; must clear the driver's 2 KB
-    // tail window even with sbt's ~100 B epilogue following it. Tiered
-    // fallback (ADVICE r03), degrading PROSE, then PRECISION, before
-    // graded numbers: tier 2 drops the criterion text but keeps every
-    // pair; tier 2b (new at 63 queries — tier 2 ran 69 B over) trims
-    // query seconds to one decimal and drops per-pair sec duplicates,
-    // still carrying all three pair efficiencies; tier 3 keeps only the
-    // criterion efficiency; tier 4 additionally collapses query_errors
-    // (unbounded — 200 chars × any failure count) to a count, so the
-    // emitted line is bounded by the fixed query-name set alone.
-    def withScaling(base: String, s: String): String =
-      base.patch(base.indexOf(""","scaling":"""), s""","scaling":$s}""", base.length)
-    val line2 = withScaling(line,
-      s"""{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
-      s""""efficiency":$efficiency,$pairsCompact}""")
-    val line2b = {
-      val r1 = (x: Double) => math.rint(x * 10) / 10
-      val pairsMin = allPairs.map { case (n, n4, t) =>
-        s"""{"cpus_n":$n,"cpus_4n":$n4,"turns":$t,"efficiency":${sampler.effReported(n, n4, t)}}"""
-      }.mkString(",")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qsJson(r1)},""" +
-      s""""query_errors":$errJson,"sf":"$sfDir",""" +
-      s""""pipeline_turns_per_sec":${(benchTurns / sampler.best(points(2), benchTurns)).round},""" +
-      s""""scaling":{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
-      s""""efficiency":$efficiency,"pairs":[$pairsMin]}}"""
-    }
-    val line3 = withScaling(line, s"""{"turns":$benchTurns,"efficiency":$efficiency}""")
-    val line4 = {
-      // lastIndexOf: an error STRING could itself contain ',"sf":'
-      val from = line3.indexOf(""","query_errors":""")
-      val to = line3.lastIndexOf(""","sf":""")
-      line3.patch(from, s""","query_errors_n":${errors.size}""", to - from)
+    // tail window even with sbt's ~100 B epilogue following it — the
+    // tiered construction + selection live in [[stdoutLine]] (unit-pinned
+    // by BenchSpec against the live query set).
+    val pairStats = allPairs.map { case (n, n4, t) =>
+      PairStat(n, n4, t, sampler.best(n, t), sampler.best(n4, t),
+        sampler.effReported(n, n4, t))
     }
     System.err.flush()
-    realOut.println(Seq(line, line2, line2b, line3).find(_.length <= 1850).getOrElse(line4))
+    realOut.println(stdoutLine(total, results, errors.toSeq, sfDir, benchTurns,
+      (benchTurns / sampler.best(points(2), benchTurns)).round,
+      secN, sec4N, efficiency, pairStats))
     realOut.flush()
   }
 }
