@@ -74,6 +74,24 @@ object AnnPack extends QueryPack {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
           count(lit(1)).cast("int").as("k"))
     }),
+    // SQ8 (int8 scalar-quantized) whole-corpus top-k — the 4×-less-memory-
+    // bandwidth rerank representation a 100 TB deployment scans, with its
+    // quantization error graded by ann_sq8_recall below
+    "ann_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("rank").cast("int").as("rank"), col("neighbor"))),
+    // recall@k of the SQ8 ranking vs exact float brute force — quantifies
+    // what 4× compression costs on this corpus (same shape as ann_ivf_recall)
+    "ann_sq8_recall" -> ((s, dir) => {
+      val brute = Similarity.bruteForceTopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"))
+      val sq8 = Similarity.sq8TopK(emb(s, dir), QueryIds, TopK)
+        .select(col("q"), col("neighbor"), lit(1).as("hit"))
+      brute.join(sq8, Seq("q", "neighbor"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
+          count(lit(1)).cast("int").as("k"))
+    }),
     // recall@k of multi-table LSH (8 tables × 4 planes) vs brute force —
     // the table-count recall knob quantified, same shape as ann_ivf_recall
     "ann_lsh_recall" -> ((s, dir) => {
@@ -164,7 +182,41 @@ object AnnPack extends QueryPack {
           WHERE ${duckCos("ea.emb", "eb.emb")} >= $NearDupThreshold)"""
   }
 
+  /** Shared CTE chain ending in `sq8(q, rank, neighbor)` — mirrors
+    * [[Similarity.sq8TopK]]: the quantized values are exact small integers
+    * in both engines (same IEEE `(x·127.0)/m` expression, both round half
+    * away from zero), so the quantized cosines are bit-identical.
+    */
+  private val duckSq8Ctes =
+    s"""se AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        smx AS (SELECT vec_id, emb,
+            list_max(list_transform(emb, x -> abs(x))) AS m FROM se),
+        sq AS (SELECT vec_id,
+            CASE WHEN m = 0 THEN list_transform(emb, x -> 0.0)
+                 ELSE list_transform(emb, x -> round((x * 127.0) / m)) END AS qe
+          FROM smx),
+        sq8 AS (SELECT q, rank, neighbor FROM (
+          SELECT bq.vec_id AS q, bc.vec_id AS neighbor,
+            row_number() OVER (PARTITION BY bq.vec_id
+              ORDER BY ${duckCos("bq.qe", "bc.qe")} DESC, bc.vec_id ASC) AS rank
+          FROM sq bc, sq bq
+          WHERE bq.vec_id IN (${QueryIds.mkString(", ")})
+            AND bq.vec_id <> bc.vec_id)
+        WHERE rank <= $TopK)"""
+
   def oracleSql = Map(
+    "ann_sq8_topk" ->
+      s"""WITH $duckSq8Ctes
+          SELECT q, CAST(rank AS INT) AS rank, neighbor FROM sq8""",
+
+    "ann_sq8_recall" ->
+      s"""WITH $duckBruteCtes, $duckSq8Ctes
+          SELECT b.q,
+            CAST(SUM(CASE WHEN v.neighbor IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+            CAST(count(*) AS INT) AS k
+          FROM brute b LEFT JOIN sq8 v ON b.q = v.q AND b.neighbor = v.neighbor
+          GROUP BY b.q""",
+
     "ann_brute_topk" ->
       s"""WITH $duckBruteCtes
           SELECT q, CAST(rank AS INT) AS rank, neighbor FROM brute""",

@@ -18,8 +18,31 @@ object TextPack extends QueryPack {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
-    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir)))
+    "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
+    // PII redaction over a deterministically PII-injected view of the
+    // corpus (the synthetic documents contain no natural PII; the fixture
+    // injection is mirrored verbatim in the oracle — the operator under
+    // test is the scrubber, not the injector)
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(docs(s, dir).withColumn("text", piiInjected)))
   )
+
+  /** Deterministic PII fixture: emails on doc_id % 5, IPv4 on % 7, phone
+    * numbers on % 11 — every combination (incl. none and all three)
+    * occurs, all derived from doc_id alone.
+    */
+  private def piiInjected: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(lit("")))
 
   def oracleSql = Map(
     "text_tokens" ->
@@ -58,6 +81,27 @@ object TextPack extends QueryPack {
           FROM (
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest($duckToks) AS token FROM documents)
-            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50)"""
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50)""",
+
+    "text_pii_scrub" -> {
+      // same regex source strings as the Spark side (both dialects read
+      // them identically; DuckDB needs the explicit 'g' flag Spark implies)
+      val (em, ip, ph) =
+        (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.PhoneRe)
+      s"""WITH piidocs AS (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+            AS text FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ipv4,
+            CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+              AS clean_text
+          FROM piidocs"""
+    }
   )
 }

@@ -72,6 +72,37 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
 
+  /** PII patterns, engine-portable (same semantics under Java regex and
+    * RE2): ASCII character classes, bounded quantifiers, `\b` word
+    * boundaries — no lookaround, no backreferences. Redaction order is
+    * email → IPv4 → phone; the placeholders contain no digits, so a later
+    * pattern can never match inside an earlier redaction.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction — the compliance pass every training-data pipeline runs
+    * before text leaves curation: count and redact emails, IPv4 addresses
+    * and international phone numbers. Pure row-local column expressions
+    * (codegen'd regex over the scan, zero shuffle; at 100 TB this is a
+    * map-only pass that rewrites text in place).
+    * Output: (doc_id, n_emails, n_ipv4, n_phones, clean_text).
+    */
+  def piiScrub(docs: DataFrame, textCol: Column = col("text")): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).as("n_phones"),
+      clean.as("clean_text"))
+  }
+
   /** Corpus vocabulary frequency table, top `k` by exact count with a
     * deterministic tie-break (token asc) — the tokenizer-training /
     * stopword-mining view of the corpus. One explode + partial-aggregated

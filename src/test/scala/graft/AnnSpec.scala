@@ -110,4 +110,36 @@ class AnnSpec extends SparkSpec {
     assert(multi.size * 2 >= truth.size,
       s"multi-table recall ${multi.size.toDouble / truth.size} below 0.5")
   }
+
+  test("SQ8 quantization: tinyint range, peak element at ±127, zero-vector guard") {
+    import spark.implicits._
+    val q = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(transform(col("embedding"), _.cast("double"))).as("q8"))
+    val stats = q.select(
+      max(array_max(transform(col("q8"), x => abs(x.cast("int"))))).as("peak_abs_max"),
+      min(array_max(transform(col("q8"), x => abs(x.cast("int"))))).as("peak_abs_min"))
+      .collect()(0)
+    // every nonzero vector's largest |element| quantizes to exactly 127
+    assert(stats.getInt(0) == 127 && stats.getInt(1) == 127, stats.toString)
+    assert(q.schema("q8").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    val zero = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("q8"))
+      .collect()(0).getSeq[Byte](0)
+    assert(zero == Seq[Byte](0, 0, 0))
+  }
+
+  test("SQ8 top-k recall@5 vs exact brute force is high (4x compression)") {
+    val brute = Similarity.bruteForceTopK(emb, AnnFixture.QueryIds, 5)
+      .select(col("q"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(emb, AnnFixture.QueryIds, 5)
+      .select(col("q"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    assert(recall >= 0.7, s"sq8 recall@5 = $recall")
+  }
 }
+
+/** Shared fixture ids (mirrors AnnPack.QueryIds without depending on it). */
+private object AnnFixture { val QueryIds: Seq[Long] = 0L until 8L }
