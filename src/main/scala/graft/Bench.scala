@@ -183,7 +183,11 @@ object Bench {
     * one decimal and compresses each pair to `"N->4N@turns": efficiency`
     * (the key carries the pair's shape, the value its graded number —
     * ~120 B cheaper than the object form, which at 65 queries landed the
-    * old tier 2b at exactly the budget boundary); tier 3 keeps only the
+    * old tier 2b at exactly the budget boundary); tier 2c additionally
+    * drops per-query precision to integer seconds at ≥ 10 s / one decimal
+    * below, elides empty query_errors and reduces scaling to efficiency +
+    * the pairs dict (68 queries + 3 pairs fit where 2b no longer does);
+    * tier 3 keeps only the
     * criterion efficiency; tier 4 additionally collapses query_errors
     * (unbounded — 200 chars × any failure count) to a count, so the
     * emitted line is bounded by the fixed query-name set alone.
@@ -196,7 +200,7 @@ object Bench {
       errors: Seq[(String, String)], sfDir: String, benchTurns: Long,
       tps: Long, secN: Double, sec4N: Double, efficiency: Double,
       pairs: List[PairStat], budget: Int = 1850): String = {
-    def qs(prec: Double => Double) = results
+    def qs(prec: Double => Any) = results
       .map { case (k, v) => "\"" + k + "\":" + prec(v) }.mkString("{", ",", "}")
     val errJ = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -223,15 +227,27 @@ object Bench {
         s""","scaling":{"turns":$benchTurns,"sec_n":${r2(secN)},"sec_4n":${r2(sec4N)},""" +
         s""""efficiency":$efficiency,"pairs":$pairsDict}}"""
     }
+    // adaptive per-query precision for the compact tiers: integer seconds
+    // once ≥ 10 (the digit that matters at that magnitude), one decimal below
+    val fmtAdaptive = (x: Double) =>
+      if (x >= 9.95) x.round.toString else (math.rint(x * 10) / 10).toString
+    val line2c = {
+      // empty query_errors elided; scaling reduced to the graded
+      // efficiencies (per-pair sec_n/sec_4n stay in bench.json)
+      val errPart = if (errors.isEmpty) "" else s""""query_errors":$errJ,"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qs(fmtAdaptive)},""" +
+        s"""$errPart"sf":"$sfDir","pipeline_turns_per_sec":$tps,""" +
+        s""""scaling":{"efficiency":$efficiency,"pairs":$pairsDict}}"""
+    }
     val line3 = base(qs(r2)) +
       s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}"""
-    val line4 = {
-      // lastIndexOf: an error STRING could itself contain ',"sf":'
-      val from = line3.indexOf(""","query_errors":""")
-      val to = line3.lastIndexOf(""","sf":""")
-      line3.patch(from, s""","query_errors_n":${errors.size}""", to - from)
-    }
-    Seq(line, line2, line2b, line3).find(_.length <= budget).getOrElse(line4)
+    // last resort, bounded by the fixed query-name set alone: 2c's compact
+    // formatting with the unbounded error STRINGS collapsed to a count
+    val line4 =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qs(fmtAdaptive)},""" +
+        s""""query_errors_n":${errors.size},"sf":"$sfDir","pipeline_turns_per_sec":$tps,""" +
+        s""""scaling":{"efficiency":$efficiency,"pairs":$pairsDict}}"""
+    Seq(line, line2, line2b, line2c, line3).find(_.length <= budget).getOrElse(line4)
   }
 
   def main(args: Array[String]): Unit = {

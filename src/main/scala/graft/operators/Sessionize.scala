@@ -66,6 +66,23 @@ object Sessionize {
     * sort aggregate over (conv_id, merged window)); no window frames, no
     * O(partition²) anything.
     */
+  /** Role-transition matrix — the conversation-flow fingerprint (who
+    * speaks after whom, e.g. user→assistant→tool loops) that transcript
+    * analytics and agent-behavior monitoring aggregate first. One `lead`
+    * over the SAME (conv_id, turn_idx) window the pipeline already sorts
+    * by (exchange reuse, like [[sessionize]]), then a partial-aggregated
+    * count over ≤ |roles|² keys — the final shuffle moves a handful of
+    * rows regardless of corpus size. Output: (role, next_role, n).
+    */
+  def roleTransitions(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns.select(col("conv_id"), col("turn_idx"), col("role"))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .filter(col("next_role").isNotNull)
+      .groupBy("role", "next_role")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def sessionWindowBounds(turns: DataFrame, gap: String = "1 hour"): DataFrame =
     turns
       .withColumn("event_ts", col("ts").cast("timestamp"))

@@ -299,6 +299,11 @@ object TranscriptPack extends QueryPack {
           Parse.eventTime(col("sess_end")).as("sess_end"),
           col("first_turn"), col("last_turn"), col("n_turns"))),
 
+    // X5: role-transition matrix (conversation-flow analytics; the lead
+    // window rides the conv_id exchange, the count aggregates |roles|² keys)
+    "x5_role_transitions" -> ((s, dir) =>
+      Sessionize.roleTransitions(turns(s, dir))),
+
     // X4: the SAME aggregate as a Structured Streaming query — session-
     // window state store, Append-mode emission when the watermark passes a
     // session's end. Distributed file-source replay like g2/k4; the oracle
@@ -481,7 +486,14 @@ object TranscriptPack extends QueryPack {
       s""", $duckSessionWindows,
           wm AS (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM turns)
           SELECT conv_id, sess_start, sess_end, first_turn, last_turn, n_turns
-          FROM swbounds, wm WHERE end_us <= wm.wm_us""")
+          FROM swbounds, wm WHERE end_us <= wm.wm_us"""),
+
+    "x5_role_transitions" -> withTurns(
+      s""", nxt AS (SELECT role,
+            lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+          FROM turns)
+          SELECT role, next_role, CAST(count(*) AS BIGINT) AS n
+          FROM nxt WHERE next_role IS NOT NULL GROUP BY role, next_role""")
   )
 
   /** Native session-window CTE (mirrors [[Sessionize.sessionWindowBounds]]

@@ -63,4 +63,17 @@ class SessionizeSpec extends SparkSpec {
     assert(bounds(1L) == (1, 2, 2L))
     assert(bounds(2L) == (3, 3, 1L))
   }
+
+  test("roleTransitions counts adjacent role pairs per conversation") {
+    val turns = mkTurns(Seq(
+      ("c1", 0, "user", "hi", ""), ("c1", 1, "assistant", "yo", ""),
+      ("c1", 2, "tool", "x", "grep"), ("c1", 3, "assistant", "done", ""),
+      ("c2", 0, "user", "q", ""), ("c2", 1, "assistant", "a", "")))
+    val out = Sessionize.roleTransitions(turns)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("user", "assistant") -> 2L,
+      ("assistant", "tool") -> 1L,
+      ("tool", "assistant") -> 1L))
+  }
 }
