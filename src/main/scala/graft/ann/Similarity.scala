@@ -364,6 +364,57 @@ object Similarity {
       .select(col("q"), col("rank"), col("neighbor"))
   }
 
+  /** SemDeDup-style semantic deduplication pairs: cluster the corpus with
+    * the deterministic k-means codebook ([[trainCentroids]]), generate
+    * candidate pairs only WITHIN shared clusters, cosine-verify at
+    * `threshold`. This is the clustering-bounded alternative to the LSH
+    * family ([[cosineNearDup]]) — the shape of the published SemDeDup
+    * recipe (cluster → within-cluster pairwise cosine → drop dups), which
+    * turns the quadratic all-pairs problem into Σ m² per-cluster work.
+    *
+    * `nProbe` > 1 assigns each vector to its `nProbe` best centroids
+    * (multi-probe), recovering pairs that straddle a single-assignment
+    * boundary — the recall knob, graded by `ann_semdedup_recall` exactly
+    * like the LSH table-count knob.
+    *
+    * Scale shape: probe assignment is ROW-LOCAL (the same broadcast-
+    * codebook per-centroid score array as [[assignCentroids]], sliced to
+    * the top `nProbe` — the corpus is never exchanged to find its
+    * clusters); the candidate self-join exchanges only narrow
+    * (cent_id, vec_id) pairs (plan-asserted); embeddings join back once
+    * per DISTINCT surviving candidate for the verify. At N vectors pick
+    * nCentroids ∝ N/m for a target cluster size m, so per-cluster
+    * quadratic work stays m²-bounded while assignment stays one broadcast.
+    * Output: (a, b) pairs with cosine ≥ threshold sharing ≥ 1 probed
+    * cluster, a < b.
+    */
+  def semDedupPairs(emb: DataFrame, threshold: Double,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = materializeCentroids(trainCentroids(emb, nCentroids))
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("cent_arr"))
+    // ascending array_sort by (score, -cent_id) then reverse = the
+    // (cscore DESC, cent_id ASC) window order, computed without a shuffle
+    val scored = transform(col("cent_arr"), c =>
+      struct(cosine(col("emb"), c.getField("cent_emb")).as("s"),
+        (-c.getField("cent_id")).as("negid")))
+    val probed = base.join(broadcast(centArr))
+      .select(col("vec_id"),
+        explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("pc"))
+      .select((-col("pc.negid")).as("cent_id"), col("vec_id"))
+    val l = probed.select(col("cent_id"), col("vec_id").as("a"))
+    val r = probed.select(col("cent_id").as("cent_id_r"), col("vec_id").as("b"))
+    val cand = l.join(r, l("cent_id") === r("cent_id_r") && l("a") < r("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(base.select(col("vec_id").as("a"), col("emb").as("emb_a")), "a")
+      .join(base.select(col("vec_id").as("b"), col("emb").as("emb_b")), "b")
+      .select(col("a"), col("b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("a", "b")
+  }
+
   /** Exact near-duplicate ground truth: ALL pairs with cosine ≥
     * `threshold` — the brute-force instrument [[cosineNearDup]]'s recall
     * is graded against (`ann_neardup_recall`). Quadratic by definition;

@@ -19,6 +19,14 @@ object AnnPack extends QueryPack {
   // at equal total candidate volume)
   val NearDupPlanes = 4
   val NearDupTables = 16
+  // SemDeDup knobs: 16-centroid codebook (shared with the IVF oracle CTEs),
+  // multi-probe assignment width — the recall knob graded by
+  // ann_semdedup_recall (measured at sf0.01, threshold 0.25: nProbe 2 →
+  // 0.506, 3 → 0.766, 4 → 0.924, beating the 4×16 LSH path's 0.88; this
+  // corpus's near-orthogonal vectors are clustering's worst case, so the
+  // curve is a floor, not a ceiling)
+  val SemDedupCentroids = 16
+  val SemDedupProbes = 4
 
   /** DuckDB: sequential-fold dot product of two double lists. */
   private def duckDot(a: String, b: String): String =
@@ -92,6 +100,28 @@ object AnnPack extends QueryPack {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
           count(lit(1)).cast("int").as("k"))
     }),
+    // SemDeDup-style clustering-bounded semantic dedup: k-means clusters,
+    // multi-probe assignment, within-cluster cosine-verified pairs
+    "ann_semdedup_pairs" -> ((s, dir) =>
+      Similarity.semDedupPairs(emb(s, dir), NearDupThreshold,
+        SemDedupCentroids, SemDedupProbes)),
+    // recall of the clustering-bounded pairs vs brute-force ground truth —
+    // what cluster partitioning misses at this (nCentroids, nProbe)
+    "ann_semdedup_recall" -> ((s, dir) => {
+      val truth = Similarity.bruteNearDup(emb(s, dir), NearDupThreshold)
+      val found = Similarity.semDedupPairs(emb(s, dir), NearDupThreshold,
+        SemDedupCentroids, SemDedupProbes).withColumn("hit", lit(1))
+      truth.join(found, Seq("a", "b"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"),
+          count(lit(1)).cast("int").as("total"))
+    }),
+    // end-to-end semantic dedup: the pair graph resolved to per-vector
+    // keeper assignments (drop rows where vec_id != keeper)
+    "ann_semdedup_resolve" -> ((s, dir) =>
+      graft.dedup.Dedup.resolveKeepers(
+        Similarity.semDedupPairs(emb(s, dir), NearDupThreshold,
+          SemDedupCentroids, SemDedupProbes))
+        .select(col("doc_id").as("vec_id"), col("keeper"))),
     // recall@k of multi-table LSH (8 tables × 4 planes) vs brute force —
     // the table-count recall knob quantified, same shape as ann_ivf_recall
     "ann_lsh_recall" -> ((s, dir) => {
@@ -204,7 +234,48 @@ object AnnPack extends QueryPack {
             AND bq.vec_id <> bc.vec_id)
         WHERE rank <= $TopK)"""
 
+  /** Shared CTE chain ending in `sdfound(a, b)` — mirrors
+    * [[Similarity.semDedupPairs]]: multi-probe cluster assignment over the
+    * `ranked` CTE of [[duckIvfCtes]] (same 16-centroid codebook, crank ≤
+    * nProbe), narrow distinct within-cluster pairs, cosine-verified at the
+    * threshold.
+    */
+  private val duckSemDedupCtes =
+    s"""sprobed AS (SELECT vec_id, cent_id FROM ranked
+          WHERE crank <= $SemDedupProbes),
+        sdcand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+          FROM sprobed l JOIN sprobed r
+            ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id),
+        sdfound AS (SELECT c.a, c.b
+          FROM sdcand c JOIN e ea ON ea.vec_id = c.a
+                        JOIN e eb ON eb.vec_id = c.b
+          WHERE ${duckCos("ea.emb", "eb.emb")} >= $NearDupThreshold)"""
+
   def oracleSql = Map(
+    "ann_semdedup_pairs" ->
+      s"""WITH $duckIvfCtes, $duckSemDedupCtes
+          SELECT a, b FROM sdfound""",
+
+    "ann_semdedup_recall" ->
+      s"""WITH $duckIvfCtes, $duckSemDedupCtes,
+          sdtruth AS (SELECT l.vec_id AS a, r.vec_id AS b
+            FROM e l JOIN e r ON l.vec_id < r.vec_id
+            WHERE ${duckCos("l.emb", "r.emb")} >= $NearDupThreshold)
+          SELECT
+            CAST(SUM(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+            CAST(count(*) AS INT) AS total
+          FROM sdtruth t LEFT JOIN sdfound f ON t.a = f.a AND t.b = f.b""",
+
+    "ann_semdedup_resolve" ->
+      s"""WITH RECURSIVE $duckIvfCtes, $duckSemDedupCtes,
+          sdedges AS (SELECT a AS x, b AS y FROM sdfound
+                      UNION ALL SELECT b AS x, a AS y FROM sdfound),
+          sdreach AS (
+            SELECT x, x AS r FROM (SELECT DISTINCT x FROM sdedges)
+            UNION
+            SELECT e2.x, rc.r FROM sdedges e2 JOIN sdreach rc ON rc.x = e2.y)
+          SELECT x AS vec_id, min(r) AS keeper FROM sdreach GROUP BY x""",
+
     "ann_sq8_topk" ->
       s"""WITH $duckSq8Ctes
           SELECT q, CAST(rank AS INT) AS rank, neighbor FROM sq8""",

@@ -111,6 +111,22 @@ class AnnSpec extends SparkSpec {
       s"multi-table recall ${multi.size.toDouble / truth.size} below 0.5")
   }
 
+  test("semDedupPairs: found ⊆ brute truth; probes multiply recall; a < b") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteNearDup(emb, 0.25))
+    val p4 = pairs(Similarity.semDedupPairs(emb, 0.25, nCentroids = 16, nProbe = 4))
+    val p1 = pairs(Similarity.semDedupPairs(emb, 0.25, nCentroids = 16, nProbe = 1))
+    // within-cluster candidates are cosine-VERIFIED: no false positives
+    assert(p4.subsetOf(truth) && p1.subsetOf(truth))
+    assert(p4.forall { case (a, b) => a < b })
+    // multi-probe assignment recovers boundary-straddling pairs that
+    // single assignment (classic SemDeDup) splits across clusters
+    assert(p4.size > p1.size, s"p4=${p4.size} p1=${p1.size} truth=${truth.size}")
+    assert(p4.size * 10 >= truth.size * 9,
+      s"nProbe=4 recall ${p4.size.toDouble / truth.size} below 0.9")
+  }
+
   test("SQ8 quantization: tinyint range, peak element at ±127, zero-vector guard") {
     import spark.implicits._
     val q = emb.select(col("vec_id"),

@@ -150,6 +150,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semDedupPairs: row-local probe assignment, narrow cluster-keyed self-join") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exec = graft.ann.Similarity.semDedupPairs(emb, 0.25)
+      .queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the quadratic stage is keyed by cent_id and must carry only
+    // (cent_id, vec_id) — never the embedding payload
+    val centExchanges =
+      exchanges.filter(_.outputPartitioning.toString.contains("cent_id"))
+    assert(centExchanges.nonEmpty, s"expected cent_id-keyed exchanges:\n$exec")
+    centExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.typeName.startsWith("array")),
+        s"embedding array in cluster-keyed candidate shuffle: ${e.output}\n$exec")
+    }
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
