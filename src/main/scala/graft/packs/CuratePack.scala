@@ -20,6 +20,23 @@ object CuratePack extends QueryPack {
     """list_distinct(list_transform(range(1, len(toks) - 1),
        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"""
 
+  /** Quality-gate raw signals, mirroring Curate.qualityGate: sum of token
+    * lengths = whitespace-collapsed length minus the n-1 separators.
+    */
+  private val duckGateSignals = {
+    val stops = graft.text.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+        CAST(len($duckToks) AS INT) AS n_tokens,
+        CAST(length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+          - (len($duckToks) - 1) AS INT) AS sum_len,
+        CAST(len(list_filter($duckToks, t -> t IN ($stops))) AS INT) AS n_stop,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct
+        FROM documents"""
+  }
+
   def queries = Map(
     "cur_split" -> ((s, dir) => Curate.split(docs(s, dir))),
     "cur_sample_stratified" -> ((s, dir) => Curate.sampleStratified(docs(s, dir))),
@@ -62,6 +79,13 @@ object CuratePack extends QueryPack {
             <= max(col("n_clean"))).cast("int").as("fp_within_budget"))
     }),
     "cur_repetition" -> ((s, dir) => Curate.repetition(docs(s, dir))),
+    // Gopher-style composite quality gate: five integer-exact rule flags
+    // plus the conjunction, all row-local (audit-friendly drop reasons)
+    "cur_quality_gate" -> ((s, dir) => Curate.qualityGate(docs(s, dir))),
+    // the full curation chain (gate -> exact-dedup keeper -> benchmark
+    // decontamination -> split), composed from the individually graded
+    // operators so the composition itself is oracle-checked
+    "cur_e2e" -> ((s, dir) => Curate.curateE2E(docs(s, dir))),
     "cur_chunk" -> ((s, dir) => Curate.chunk(docs(s, dir))),
     "cur_len_quantiles" -> ((s, dir) => Curate.lengthQuantiles(docs(s, dir))),
     // the 100 TB approx_percentile swap, graded against its rank-error
@@ -172,6 +196,59 @@ object CuratePack extends QueryPack {
                   ELSE 0 END) * 10 >= greatest(len($duckToks) - 2, 0) * 3
             THEN 1 ELSE 0 END AS INT) AS is_repetitive
           FROM documents""",
+
+    "cur_quality_gate" ->
+      s"""WITH sig AS ($duckGateSignals)
+          SELECT doc_id, n_tokens, ok_len, ok_word_len, ok_stop, ok_punct,
+            ok_distinct,
+            CAST(ok_len * ok_word_len * ok_stop * ok_punct * ok_distinct
+              AS INT) AS keep
+          FROM (
+            SELECT doc_id, n_tokens,
+              CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                THEN 1 ELSE 0 END AS INT) AS ok_len,
+              CAST(CASE WHEN sum_len >= n_tokens * 2
+                    AND sum_len <= n_tokens * 12
+                THEN 1 ELSE 0 END AS INT) AS ok_word_len,
+              CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS ok_stop,
+              CAST(CASE WHEN n_punct * 10 <= n_chars
+                THEN 1 ELSE 0 END AS INT) AS ok_punct,
+              CAST(CASE WHEN n_distinct * 2 >= n_tokens
+                THEN 1 ELSE 0 END AS INT) AS ok_distinct
+            FROM sig)""",
+
+    "cur_e2e" -> {
+      val isBenchDoc = s"${duckBucket("doc_id", "graft-bench", 20)} = 0"
+      val b = duckBucket("doc_id", "graft-split", 100)
+      s"""WITH sig AS ($duckGateSignals),
+          gate AS (
+            SELECT doc_id FROM sig
+            WHERE n_tokens >= 5 AND n_tokens <= 5000
+              AND sum_len >= n_tokens * 2 AND sum_len <= n_tokens * 12
+              AND n_stop >= 2 AND n_punct * 10 <= n_chars
+              AND n_distinct * 2 >= n_tokens),
+          dd AS (
+            SELECT min(d.doc_id) AS doc_id
+            FROM documents d JOIN gate g ON d.doc_id = g.doc_id
+            GROUP BY md5(d.text)),
+          shingled AS (
+            SELECT doc_id, $isBenchDoc AS is_bench, $duckShingles AS shs
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+            WHERE len(toks) >= 3),
+          bench AS (
+            SELECT DISTINCT unnest(shs) AS sh FROM shingled WHERE is_bench),
+          contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(shs) AS sh FROM shingled
+                  WHERE NOT is_bench) c
+            JOIN bench b ON c.sh = b.sh)
+          SELECT doc_id,
+            CASE WHEN $b < 90 THEN 'train'
+                 WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM dd
+          WHERE NOT ($isBenchDoc)
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+    },
 
     "cur_chunk" ->
       s"""SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,

@@ -8,6 +8,9 @@ object TextPack extends QueryPack {
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  // per-doc TF-IDF top-k width (shared by query and oracle)
+  val TfidfK = 5
+
   private def duckStopCount(lang: String): String = {
     val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"CAST(len(list_filter($duckToks, t -> t IN ($words))) AS INT)"
@@ -19,6 +22,9 @@ object TextPack extends QueryPack {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_vocab" -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
+    // per-doc top-k TF-IDF terms under the log-free rational IDF (the
+    // engine-exact ordering; see TextAnalysis.tfidf)
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidf(docs(s, dir), TfidfK)),
     // PII redaction over a deterministically PII-injected view of the
     // corpus (the synthetic documents contain no natural PII; the fixture
     // injection is mirrored verbatim in the oracle — the operator under
@@ -82,6 +88,24 @@ object TextPack extends QueryPack {
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest($duckToks) AS token FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 50)""",
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest($duckToks) AS token FROM documents)
+            GROUP BY doc_id, token),
+          dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+              CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.df AS score
+            FROM tf JOIN dfq USING (token) CROSS JOIN n)
+          SELECT doc_id, token, tf, df,
+            CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token ASC) AS INT) AS rank
+          FROM scored
+          QUALIFY rank <= $TfidfK""",
 
     "text_pii_scrub" -> {
       // same regex source strings as the Spark side (both dialects read

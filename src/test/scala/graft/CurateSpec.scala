@@ -212,4 +212,60 @@ class CurateSpec extends SparkSpec {
     }
     assert(q.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
+
+  test("qualityGate: zero-shuffle plan; exact flag semantics on fixtures") {
+    val s = spark
+    import s.implicits._
+    assert(!plan(Curate.qualityGate(docs)).contains("Exchange"),
+      "quality gate must be row-local")
+    val fix = Seq(
+      // 6 tokens, 2 stopwords, clean → keep
+      1L -> "the cat sat in good order.",
+      // too short (< 5 tokens)
+      2L -> "the and tiny",
+      // mean token length 1 (< 2) → ok_word_len = 0
+      3L -> "a b c d e f g the and",
+      // no stopwords
+      4L -> "quick brown foxes jumping fences daily",
+      // > 10% punctuation
+      5L -> "the cat!!!... and,, dog;;; runs!?!?.,;",
+      // < 50% distinct tokens
+      6L -> "the the the the and and and and spam spam spam spam")
+      .toDF("doc_id", "text")
+    val out = Curate.qualityGate(fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(2L).getAs[Int]("ok_len") == 0 && out(2L).getAs[Int]("keep") == 0)
+    assert(out(3L).getAs[Int]("ok_word_len") == 0)
+    assert(out(4L).getAs[Int]("ok_stop") == 0)
+    assert(out(5L).getAs[Int]("ok_punct") == 0)
+    assert(out(6L).getAs[Int]("ok_distinct") == 0)
+    // every flag is individually attributable: failing docs fail ONLY the
+    // targeted rule where the fixture was built that way
+    assert(out(4L).getAs[Int]("ok_len") == 1 && out(4L).getAs[Int]("ok_word_len") == 1)
+  }
+
+  test("curateE2E: composition consistent with its stages on the corpus") {
+    val e2e = Curate.curateE2E(docs).cache()
+    val ids = e2e.collect().map(_.getLong(0)).toSet
+    // survivors passed the gate
+    val gateKeep = Curate.qualityGate(docs).filter(col("keep") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gateKeep))
+    // survivors are exact-dedup keepers (min doc_id per content hash)
+    val keepers = graft.dedup.Dedup.exact(docs)
+      .collect().map(_.getAs[Long]("keeper")).toSet
+    assert(ids.forall(keepers.contains))
+    // no benchmark-partition or contaminated docs survive
+    val bench = docs.filter(Curate.isBenchmark())
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = Curate.decontaminate(docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(bench).isEmpty && ids.intersect(contaminated).isEmpty)
+    // and the chain keeps a non-trivial corpus with valid split labels
+    assert(ids.nonEmpty)
+    assert(e2e.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    e2e.unpersist(blocking = true)
+  }
 }

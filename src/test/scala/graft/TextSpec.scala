@@ -37,4 +37,26 @@ class TextSpec extends SparkSpec {
     assert(once == "<EMAIL> <IP> <PHONE>")
     assert(scrub(1L -> once)(1L) == ((0, 0, 0), once))
   }
+
+  test("tfidf: rare terms outrank common ones; k bounds ranks; df counts docs") {
+    val s = spark
+    import s.implicits._
+    // "shared" is in every doc (df=3, idf=1 → lowest weight); each doc
+    // also has a unique term (df=1) and doc 1 repeats its unique term
+    val docs = Seq(
+      1L -> "alpha alpha shared shared shared",
+      2L -> "beta shared",
+      3L -> "gamma shared").toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // doc 1: alpha tf=2 df=1 → score 6.0 beats shared tf=3 df=3 → 3.0
+    assert(out((1L, "alpha")) == ((2L, 1L, 1)))
+    assert(out((1L, "shared")) == ((3L, 3L, 2)))
+    // docs 2/3: the unique term (tf=1, df=1, score 3.0) outranks shared
+    // (tf=1, df=3, score 1.0)
+    assert(out((2L, "beta")) == ((1L, 1L, 1)))
+    assert(out((3L, "gamma")) == ((1L, 1L, 1)))
+    assert(out.keys.groupBy(_._1).values.forall(_.size <= 2), "k=2 bound")
+  }
 }
