@@ -142,7 +142,15 @@ object TextAnalysis {
   def tfidf(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // count(tf >= 1), not count(1): the guard genuinely references tf
+    // (always true, so df is unchanged), which pins the df branch's
+    // subtree byte-identical to the tf branch — plain count(1)/count(tf)
+    // let column pruning drop tf's count from this branch and break
+    // exchange canonicalization, forcing a SECOND tokenize+aggregate
+    // scan of the corpus; with the guard, exchange reuse serves both
+    // branches from one scan+aggregate (plan-asserted in PlanSpec).
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)

@@ -171,6 +171,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: ONE tokenize+aggregate scan serves both tf and df branches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = graft.text.TextAnalysis.tfidf(docs)
+    q.collect() // AQE: stage reuse is decided at runtime; read the final plan
+    // AdaptiveSparkPlan.toString renders BOTH the final and the initial
+    // (pre-AQE) plan — assert on the final section only
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"df branch must reuse the tf (doc_id, token) aggregate's exchange:\n$p")
+    // exactly one scan tokenizes text; the only other corpus scan is the
+    // column-less n_docs count (reads footers, not text)
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(p).length
+    assert(textScans == 1, s"expected 1 text scan, got $textScans:\n$p")
+    // per-doc top-k pushes the limit below the exchange (partial group
+    // limit), never a global sort
+    assert(p.contains("WindowGroupLimit") && !p.contains("GlobalSort"), p)
+  }
+
   test("salted stamping plan avoids a full-width second exchange of the big frame") {
     val parsed = graft.operators.Parse.parse(Transcripts.synthetic(spark, 10000, 100))
     val p = plan(graft.operators.TxnStamp.stampSalted(parsed, 1024))
