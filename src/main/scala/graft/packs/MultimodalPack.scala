@@ -36,7 +36,15 @@ object MultimodalPack extends QueryPack {
     // so a green row proves the codec round-trip, not byte arithmetic.
     "mm_decode_real" -> ((s, dir) =>
       Multimodal.decodeImageFeatures(
-        Multimodal.withPngPayload(Multimodal.fromDocuments(s, dir))).toDF())
+        Multimodal.withPngPayload(Multimodal.fromDocuments(s, dir))).toDF()),
+    // REAL audio codec end-to-end: deterministic 16-bit PCM encoded into
+    // RIFF/WAVE and decoded back with javax.sound.sampled in the
+    // executors; the oracle recomputes the signal features straight from
+    // the generative sample formula, so a green row proves the container
+    // round-trip (sample count and every positional/aggregate feature).
+    "mm_audio_real" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.withWavPayload(Multimodal.fromDocuments(s, dir))).toDF())
   )
 
   /** Media-table CTE shared by all oracles: mirrors
@@ -90,6 +98,26 @@ object MultimodalPack extends QueryPack {
            CAST(round(1e6 * CASE WHEN len(terms) = 0 THEN 0.0
                                  ELSE list_reduce(terms, (a, b) -> a + b) END) AS BIGINT) AS fp
          FROM sel""",
+    // expected features from the generative formula s(i) =
+    // (media_id*37 + i*11) % 65536 - 32768 — mirrors Multimodal.sampleAt;
+    // the Spark side must reproduce these THROUGH the WAV encode/decode.
+    "mm_audio_real" ->
+      """WITH aud AS (SELECT doc_id AS media_id,
+             CAST((doc_id % 10 + 1) * 160 AS INT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         smp AS (SELECT media_id, n, i,
+                  (media_id * 37 + i * 11) % 65536 - 32768 AS s
+                FROM aud, UNNEST(range(0, n)) AS u(i))
+         SELECT media_id, CAST(MAX(n) AS INT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(MIN(s) AS INT) AS min_s, CAST(MAX(s) AS INT) AS max_s,
+           CAST(MAX(CASE WHEN i = 0 THEN s END) AS INT) AS s0,
+           CAST(MAX(CASE WHEN i = n - 1 THEN s END) AS INT) AS s_last,
+           CAST(COUNT(*) FILTER (WHERE i > 0 AND
+             s * ((media_id * 37 + (i - 1) * 11) % 65536 - 32768) < 0)
+             AS INT) AS n_zero_cross
+         FROM smp GROUP BY media_id""",
+
     // expected features from the generative formula pixel(x,y) =
     // (media_id*31 + x*7 + y*13) % 256 — mirrors Multimodal.pixelAt; the
     // Spark side must reproduce these THROUGH the PNG encode/decode.

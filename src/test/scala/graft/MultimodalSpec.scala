@@ -60,6 +60,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV codec round-trip: AudioSystem decode reproduces the generative samples") {
+    val withWav = Multimodal.withWavPayload(media).filter(_.kind == "audio").cache()
+    withWav.take(20).foreach { m =>
+      val p = m.payload
+      assert(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E',
+        s"media ${m.media_id}: payload is not RIFF/WAVE")
+    }
+    val feats = Multimodal.decodeAudioFeatures(withWav).collect()
+    withWav.unpersist(blocking = true)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val n = f.n_samples
+      assert(n % Multimodal.AudioFrameSamples == 0 && n > 0)
+      val exp = (0 until n).map(Multimodal.sampleAt(f.media_id, _))
+      assert(f.s0 == exp.head && f.s_last == exp.last,
+        s"media ${f.media_id}: positional samples differ through the codec")
+      assert(f.sum_s == exp.map(_.toLong).sum)
+      assert(f.min_s == exp.min && f.max_s == exp.max)
+      assert(f.n_zero_cross ==
+        exp.sliding(2).count(w => w(0) * w(1) < 0))
+    }
+  }
+
   test("deterministic embedding has fixed dim and reproducible values") {
     val e1 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val e2 = Multimodal.embed(media).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
