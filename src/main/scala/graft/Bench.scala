@@ -242,10 +242,12 @@ object Bench {
     val line3 = base(qs(r2)) +
       s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}"""
     // last resort, bounded by the fixed query-name set alone: 2c's compact
-    // formatting with the unbounded error STRINGS collapsed to a count
+    // formatting with the unbounded error STRINGS collapsed to a count and
+    // the sf path reduced to its basename (the full path is in bench.json;
+    // at 76 queries the 15 B of "/root/testdata/" are the budget margin)
     val line4 =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qs(fmtAdaptive)},""" +
-        s""""query_errors_n":${errors.size},"sf":"$sfDir","pipeline_turns_per_sec":$tps,""" +
+        s""""query_errors_n":${errors.size},"sf":"${sfDir.split('/').last}","pipeline_turns_per_sec":$tps,""" +
         s""""scaling":{"efficiency":$efficiency,"pairs":$pairsDict}}"""
     Seq(line, line2, line2b, line2c, line3).find(_.length <= budget).getOrElse(line4)
   }
