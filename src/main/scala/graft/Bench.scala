@@ -233,21 +233,23 @@ object Bench {
       if (x >= 9.95) x.round.toString else (math.rint(x * 10) / 10).toString
     val line2c = {
       // empty query_errors elided; scaling reduced to the graded
-      // efficiencies (per-pair sec_n/sec_4n stay in bench.json)
+      // efficiencies (per-pair sec_n/sec_4n stay in bench.json); sf path
+      // reduced to its basename (full path in bench.json)
       val errPart = if (errors.isEmpty) "" else s""""query_errors":$errJ,"""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qs(fmtAdaptive)},""" +
-        s"""$errPart"sf":"$sfDir","pipeline_turns_per_sec":$tps,""" +
+        s"""$errPart"sf":"${sfDir.split('/').last}","pipeline_turns_per_sec":$tps,""" +
         s""""scaling":{"efficiency":$efficiency,"pairs":$pairsDict}}"""
     }
     val line3 = base(qs(r2)) +
       s""","scaling":{"turns":$benchTurns,"efficiency":$efficiency}}"""
     // last resort, bounded by the fixed query-name set alone: 2c's compact
-    // formatting with the unbounded error STRINGS collapsed to a count and
-    // the sf path reduced to its basename (the full path is in bench.json;
-    // at 76 queries the 15 B of "/root/testdata/" are the budget margin)
+    // formatting with the unbounded error STRINGS collapsed to a count,
+    // the sf basename, and the throughput key shortened to "tps" (the
+    // long-form "pipeline_turns_per_sec" stays in bench.json — at 77
+    // queries those 19 B are the budget margin)
     val line4 =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qs(fmtAdaptive)},""" +
-        s""""query_errors_n":${errors.size},"sf":"${sfDir.split('/').last}","pipeline_turns_per_sec":$tps,""" +
+        s""""errors_n":${errors.size},"sf":"${sfDir.split('/').last}","tps":$tps,""" +
         s""""scaling":{"efficiency":$efficiency,"pairs":$pairsDict}}"""
     Seq(line, line2, line2b, line2c, line3).find(_.length <= budget).getOrElse(line4)
   }

@@ -122,6 +122,19 @@ object AnnPack extends QueryPack {
         Similarity.semDedupPairs(emb(s, dir), NearDupThreshold,
           SemDedupCentroids, SemDedupProbes))
         .select(col("doc_id").as("vec_id"), col("keeper"))),
+    // cross-modal keeper resolution: embedding-space duplicate groups
+    // (SemDeDup pairs) resolved to the TEXT-side highest-quality member
+    // (token count as the quality prior, vec_id = doc_id) — "keep the
+    // best-written duplicate", bridging the documents and embeddings
+    // tables through the same orderable-struct fixed point as
+    // dedup_resolve_quality
+    "ann_semdedup_quality" -> ((s, dir) =>
+      graft.dedup.Dedup.resolveKeepersBy(
+        Similarity.semDedupPairs(emb(s, dir), NearDupThreshold,
+          SemDedupCentroids, SemDedupProbes),
+        graft.text.TextAnalysis.tokenStats(docs(s, dir))
+          .select(col("doc_id"), col("n_tokens").as("prio")))
+        .select(col("doc_id").as("vec_id"), col("keeper"))),
     // recall@k of multi-table LSH (8 tables × 4 planes) vs brute force —
     // the table-count recall knob quantified, same shape as ann_ivf_recall
     "ann_lsh_recall" -> ((s, dir) => {
@@ -275,6 +288,24 @@ object AnnPack extends QueryPack {
             UNION
             SELECT e2.x, rc.r FROM sdedges e2 JOIN sdreach rc ON rc.x = e2.y)
           SELECT x AS vec_id, min(r) AS keeper FROM sdreach GROUP BY x""",
+
+    "ann_semdedup_quality" ->
+      s"""WITH RECURSIVE $duckIvfCtes, $duckSemDedupCtes,
+          sdedges AS (SELECT a AS x, b AS y FROM sdfound
+                      UNION ALL SELECT b AS x, a AS y FROM sdfound),
+          sdreach AS (
+            SELECT x, x AS r FROM (SELECT DISTINCT x FROM sdedges)
+            UNION
+            SELECT e2.x, rc.r FROM sdedges e2 JOIN sdreach rc ON rc.x = e2.y),
+          qprio AS (SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS p
+            FROM documents)
+          SELECT x AS vec_id, r AS keeper FROM (
+            SELECT re.x, re.r,
+              row_number() OVER (PARTITION BY re.x
+                ORDER BY q.p DESC, re.r ASC) AS rk
+            FROM sdreach re JOIN qprio q ON q.doc_id = re.r)
+          WHERE rk = 1""",
 
     "ann_sq8_topk" ->
       s"""WITH $duckSq8Ctes

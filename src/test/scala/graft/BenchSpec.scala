@@ -32,11 +32,22 @@ class BenchSpec extends AnyFunSuite {
     else node.fieldNames().asScala.map(f => node.get(f).asDouble).toSeq
   }
 
-  test("selected tier keeps all query secs + all pair efficiencies in 1850 B") {
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 77.77)
+  /** Hard ceiling for the EMITTED line: the driver keeps the last ~2048 B
+    * of stdout and the sbt epilogue after the line measures ~74 B
+    * (r5 run), so anything ≤ 1960 B survives with margin. The 1850 B
+    * budget inside stdoutLine is the tier-SELECTION threshold; at 70+
+    * queries the last-resort tier exceeds it by design (it is bounded by
+    * the query-name set) and this ceiling is what actually matters.
+    */
+  private val EmitCeiling = 1960
+
+  test("selected tier keeps all query secs + all pair efficiencies in the tail window") {
+    // 7.77 → "7.8" under the adaptive tiers: the realistic WORST per-query
+    // width (sub-10-second values are 3 chars; ≥10 s rounds to 2)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 7.77)
     val line = Bench.stdoutLine(777.77, results, Nil, "/root/testdata/sf0.1",
       8000000L, 1954542L, 38.30, 9.53, 1.0, pairs)
-    assert(line.length <= 1850, s"selected line is ${line.length} B, over budget")
+    assert(line.length <= EmitCeiling, s"selected line is ${line.length} B, over budget")
     val root = om.readTree(line) // throws on malformed JSON
     val qs = root.get("queries")
     val missing = SparkEntry.queries.keys.filterNot(k => qs.has(k))
@@ -47,12 +58,12 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("unbounded error strings degrade to a count, still parseable") {
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 77.77)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 7.77)
     val errors = results.take(10).map { case (k, _) => k -> ("boom " * 40) }
     val line = Bench.stdoutLine(777.77, results, errors, "/root/testdata/sf0.1",
       8000000L, 1954542L, 38.30, 9.53, 1.0, pairs)
-    assert(line.length <= 1850, s"error-fallback line is ${line.length} B")
+    assert(line.length <= EmitCeiling, s"error-fallback line is ${line.length} B")
     val root = om.readTree(line)
-    assert(root.has("query_errors") || root.get("query_errors_n").asInt == 10)
+    assert(root.has("query_errors") || root.get("errors_n").asInt == 10)
   }
 }
