@@ -25,15 +25,26 @@ case class PipelineConfig(
 
 object Pipeline {
 
-  /** Parsed + txn-stamped + lookup-enriched turns (pre-explode). */
+  /** Parsed + txn-stamped + lookup-enriched turns (pre-explode).
+    *
+    * Parse order (guide §2.3 "project before the exchange"): only the
+    * dispatch columns the txn-stamp window needs (kind, xid — cheap
+    * substring extractions) are computed BEFORE the conv_id exchange; the
+    * wide `vals` payload decode and stmt extraction run AFTER it, in the
+    * post-shuffle stage. `vals` serializes to roughly the text bytes again
+    * plus array offsets, so parsing it pre-shuffle nearly doubled every
+    * shuffled row's width for no benefit — the window never reads it.
+    * Result columns/values are identical to stamping Parse.parse output
+    * (oracle- and spec-checked); only the stage that computes them moves.
+    */
   def enriched(turns: DataFrame, lookup: DataFrame,
       cfg: PipelineConfig = PipelineConfig()): DataFrame = {
-    val parsed = Parse.parse(turns)
+    val parsed = Parse.parseKind(turns)
     val stamped = cfg.saltBlockSize match {
       case Some(sz) => TxnStamp.stampSalted(parsed, sz)
       case None => TxnStamp.stamp(parsed)
     }
-    Enrich.withLookup(stamped, lookup)
+    Enrich.withLookup(Parse.withVals(stamped), lookup)
   }
 
   /** Role include-filter, pushed AHEAD of parse (VERDICT r01 #6): every

@@ -176,13 +176,22 @@ object Similarity {
       .select((col("rk") - 1).cast("long").as("cent_id"), col("emb").as("cent_emb"))
     var cents = seeds
     (1 to iters).foreach { _ =>
-      val wBest = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id").asc)
-      val assigned = sample.join(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("cent_id"),
-          cosine(col("emb"), col("cent_emb")).as("cscore"))
-        .withColumn("crank", row_number().over(wBest))
-        .filter(col("crank") === 1)
+      // Row-local best-centroid pick — the [[assignCentroids]] shape
+      // (broadcast the k-row codebook as ONE array row, argmax via
+      // array_max over (score, -cent_id) structs) instead of the old
+      // corpus×k join + per-vec_id rank window, which shuffled
+      // sample×k rows once per Lloyd step just to pick each row's max.
+      // Tie-break identical (equal score → larger -cent_id = lower
+      // cent_id); cosines are the same fused fold, so assignments are
+      // bit-identical and the trained codebook unchanged (oracle-checked
+      // by every ann_ivf_*/ann_semdedup_* row).
+      val centArr = cents.agg(
+        array_sort(collect_list(struct(col("cent_id"), col("cent_emb")))).as("cent_arr"))
+      val best = array_max(transform(col("cent_arr"), c =>
+        struct(cosine(col("emb"), c.getField("cent_emb")).as("s"),
+          (-c.getField("cent_id")).as("negid"))))
+      val assigned = sample.join(broadcast(centArr))
+        .select(col("vec_id"), col("emb"), (-best.getField("negid")).as("cent_id"))
       val rebuilt = assigned
         .select(col("cent_id"), posexplode(col("emb")).as(Seq("p", "x")))
         .groupBy("cent_id", "p")

@@ -45,29 +45,54 @@ object Parse {
     when(locate(marker, col("text")) > 0,
       substring(col("text"), locate(marker, col("text")) + marker.length, lit(Int.MaxValue)))
 
-  def parse(turns: DataFrame): DataFrame = {
-    graft.functions.ParseVals.register(turns.sparkSession)
+  /** The dispatch-only prefix of [[parse]]: kind + commit xid — exactly the
+    * columns transaction stamping consumes. Split out so the pipeline can
+    * run the txn-stamp shuffle on THIS narrow frame and defer the wide
+    * payload parse ([[withVals]]) to after the exchange: `vals`
+    * (array<array<string>>) serializes to roughly the text's bytes again
+    * plus per-element offsets, so parsing it pre-shuffle ~doubled every
+    * shuffled row (guide §2.3 "project before the exchange").
+    */
+  def parseKind(turns: DataFrame): DataFrame = {
     // "EVENT <kind> ..." -> <kind>, whitelisted (word-boundary analog)
     val kindRaw = substring_index(substring(col("text"), 7, 7), " ", 1)
     val kind = when(col("text").startsWith("EVENT ") && kindRaw.isin(Kinds: _*), kindRaw)
       .otherwise("")
+    turns
+      .withColumn("kind", kind)
+      .withColumn("xid",
+        when(col("kind") === "commit", tail("xid=").cast("long")))
+  }
+
+  /** The payload suffix of [[parse]]: stmt/suppressed + the `vals` row
+    * decode — pure row-local work any stage can host, so the pipeline runs
+    * it after the txn-stamp exchange.
+    */
+  def withVals(parsedKind: DataFrame): DataFrame = {
+    graft.functions.ParseVals.register(parsedKind.sparkSession)
     // "[a|b];[c|d]" -> [["a","b"],["c","d"]] — fused one-pass parser with
     // exactly-one-bracket strip + backslash escaping (see ParseVals; the
     // old transform(split(…), trim(…, "[]")) HOF chain was ~80 of 109 map-
     // stage core-seconds and stripped bracket RUNS, diverging from the
     // oracle on bracket-adjacent values).
     val vals = graft.functions.ParseVals(tail("vals="))
-    turns
-      .withColumn("kind", kind)
+    parsedKind
       .withColumn("stmt", coalesce(tail("stmt="), lit("")))
       .withColumn("suppressed", col("kind") === "query" && isSuppressed(col("stmt")))
-      .withColumn("xid",
-        when(col("kind") === "commit", tail("xid=").cast("long")))
       .withColumn("rows_declared",
         when(col("kind").isin("insert", "update", "delete"),
           substring_index(tail("rows="), " ", 1).cast("int")))
       .withColumn("vals",
         when(col("kind").isin("insert", "update", "delete"), vals))
+  }
+
+  def parse(turns: DataFrame): DataFrame = {
+    // composed from the two pipeline halves, re-projected to the original
+    // column order so the one-call form stays byte-identical for callers
+    val orig = turns.columns.toSeq
+    withVals(parseKind(turns)).select(
+      (orig ++ Seq("kind", "stmt", "suppressed", "xid", "rows_declared", "vals"))
+        .map(col): _*)
   }
 
   /** RFC3339 UTC event time — `messages/message.go:24-32`

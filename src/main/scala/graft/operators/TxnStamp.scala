@@ -54,7 +54,15 @@ object TxnStamp {
     */
   def stampSalted(parsed: DataFrame, blockSize: Int = 4096): DataFrame = {
     val block = (col("turn_idx").cast("long") / blockSize).cast("long").as("salt_block")
+    // ONE explicit exchange on (conv_id, salt_block), SHARED by the window
+    // and the per-block summary below (ReusedExchange): both consumers'
+    // required distribution is satisfied by this repartition, so the
+    // window adds no exchange and the summary aggregates in place. The old
+    // shape derived `summary` from the pre-shuffle frame, whose plan
+    // re-ran the entire upstream (synthetic generation / scan + parse) a
+    // second time just to count commits per block (guide §2.4).
     val withBlock = parsed.withColumn("salt_block", block)
+      .repartition(col("conv_id"), col("salt_block"))
 
     // running frame over DESC order: O(block), same O(n²)-avoidance as stamp
     val wIn = Window.partitionBy("conv_id", "salt_block").orderBy(col("turn_idx").desc)
@@ -62,9 +70,10 @@ object TxnStamp {
     val inBlock = withBlock.withColumn("txn_in_block",
       last(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(wIn))
 
-    // ONE map-side-combined aggregation produces the whole (conv, block)
-    // domain with the xid of each block's first commit (null when none) —
-    // rows ≈ #blocks, not #turns.
+    // ONE aggregation over the SHARED exchange produces the whole
+    // (conv, block) domain with the xid of each block's first commit (null
+    // when none) — rows ≈ #blocks, not #turns, and the upstream is
+    // computed exactly once.
     val summary = withBlock.groupBy("conv_id", "salt_block")
       .agg(min(when(col("kind") === "commit", struct(col("turn_idx"), col("xid"))))
         .getField("xid").as("first_xid"))
