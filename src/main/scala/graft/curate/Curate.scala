@@ -187,9 +187,20 @@ object Curate {
     * contamination RATIO derivable downstream.
     * Output: contaminated (doc_id, n_shingles, n_hits).
     */
-  def decontaminate(docs: DataFrame, salt: String = "graft-bench"): DataFrame = {
-    val shingled = docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
+  /** (doc_id, is_bench, shs): the shared shingled view both
+    * decontamination paths read. Split out so a caller composing SEVERAL
+    * passes over it (e.g. the graded bloom-vs-exact comparison) can
+    * materialize it once instead of re-shingling the corpus per pass.
+    */
+  def shingled(docs: DataFrame, salt: String = "graft-bench"): DataFrame =
+    docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
       Dedup.shingles(col("text")).as("shs"))
+
+  def decontaminate(docs: DataFrame, salt: String = "graft-bench"): DataFrame =
+    decontaminateShingled(shingled(docs, salt))
+
+  /** [[decontaminate]] over a pre-shingled frame. */
+  def decontaminateShingled(shingled: DataFrame): DataFrame = {
     val benchSh = shingled.filter(col("is_bench"))
       .select(explode(col("shs")).as("sh")).distinct()
     shingled.filter(!col("is_bench"))
@@ -222,12 +233,15 @@ object Curate {
     * recorded in BASELINE.md).
     */
   def decontaminateBloom(docs: DataFrame, salt: String = "graft-bench",
+      estItems: Long = 1L << 20, fpp: Double = 1e-4): DataFrame =
+    decontaminateBloomShingled(shingled(docs, salt), estItems, fpp)
+
+  /** [[decontaminateBloom]] over a pre-shingled frame. */
+  def decontaminateBloomShingled(shingled: DataFrame,
       estItems: Long = 1L << 20, fpp: Double = 1e-4): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val shingled = docs.select(col("doc_id"), isBenchmark(salt).as("is_bench"),
-      Dedup.shingles(col("text")).as("shs"))
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(estItems, fpp)
     val bloomBytes = shingled.filter(col("is_bench"))
       .select(explode(col("shs")).as("sh")).distinct()

@@ -153,7 +153,13 @@ object Dedup {
     // That only holds for maxHamming ≤ 6; wider thresholds need a
     // different block-combination family.
     require(maxHamming <= 6, s"band-pair keys cover hamming <= 6, got $maxHamming")
-    val sh = simhashDocs(docs)
+    // Materialize the NARROW fingerprint table (16 B/doc) once: it feeds
+    // the banding explode AND both sides of the verify join-back, and each
+    // reference otherwise re-runs the full tokenize+md5 SimHash pass over
+    // the corpus (three passes total). Materializing the fingerprint
+    // table is also the honest 100 TB shape — it is exactly what a
+    // deployment persists between candidate generation and verification.
+    val sh = simhashDocs(docs).localCheckpoint()
     // Block-combination keys (the published web-scale simhash indexing
     // trick): key on PAIRS of 8-bit bands — C(8,2) = 28 keys of 16 bits
     // each. Single 8-bit bands give only 256 buckets per band, so at
@@ -183,7 +189,7 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
     // no broadcast hint: at corpus scale the fingerprint table is huge and
     // the CANDIDATE side is the small one — AQE picks the right side
-    val sh64 = simhashDocs(docs)
+    val sh64 = sh
     pairs
       .join(sh64.select(col("doc_id").as("a"), col("sh64").as("sh_a")), "a")
       .join(sh64.select(col("doc_id").as("b"), col("sh64").as("sh_b")), "b")
@@ -219,7 +225,7 @@ object Dedup {
       .union(pairs.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val init = edges.select(col("x")).distinct().withColumn("keeper", col("x"))
-    propagateMin(edges, init, maxIters)
+    propagateMin(edges, init, maxIters, identity)
       .select(col("x").as("doc_id"), col("keeper"))
   }
 
@@ -247,15 +253,27 @@ object Dedup {
       .select(col("x"),
         struct((-coalesce(col("prio"), lit(0L))).as("np"),
           col("x").as("id")).as("keeper"))
-    propagateMin(edges, init, maxIters)
+    propagateMin(edges, init, maxIters, _.getField("id"))
       .select(col("x").as("doc_id"), col("keeper.id").as("keeper"))
   }
 
   /** Min-label propagation to a true fixed point over any orderable label
     * type (see [[resolveKeepers]] for the algorithm and scale notes).
+    *
+    * Each round combines the one-hop neighbor min with a POINTER JUMP —
+    * adopting the current label OF the node one's label points at
+    * (`labelNode` extracts that node id from a label). Jumping doubles the
+    * distance label information travels per round (O(log diameter) rounds
+    * instead of O(diameter)) while preserving the invariants the plain
+    * rounds have: labels only decrease, a label always names a node in
+    * one's own component, and the fixed point is still the exact
+    * per-component minimum — when nothing changes, every label equals both
+    * its neighborhood min and its target's label, which is exactly the
+    * plain iteration's fixed point. Cost per round: one extra equi-join of
+    * the label table with itself (node-keyed, same scale shape).
     */
   private def propagateMin(edges: DataFrame, init: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int, labelNode: Column => Column): DataFrame = {
     var labels = init.localCheckpoint()
     var converged = false
     var it = 0
@@ -263,12 +281,20 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("x").as("y"), col("keeper").as("nbr_keeper")), "y")
         .groupBy("x").agg(min(col("nbr_keeper")).as("nk"))
+      val stepped = labels.join(viaNeighbor, Seq("x"), "left")
+        .select(col("x"), col("keeper").as("prev"),
+          least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
+      // pointer jump: keeper ← min(keeper, labels[node(keeper)]) — the
+      // label table itself, keyed by its (unique) node id
+      val jumpTargets = labels
+        .select(col("x").as("jt"), col("keeper").as("jt_keeper"))
       // carry the previous label through the same projection so the
       // convergence check is a filter over the checkpointed result, not a
       // second labels×labels join per iteration
-      val joined = labels.join(viaNeighbor, Seq("x"), "left")
-        .select(col("x"), col("keeper").as("prev"),
-          least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
+      val joined = stepped
+        .join(jumpTargets, labelNode(col("keeper")) === col("jt"), "left")
+        .select(col("x"), col("prev"),
+          least(col("keeper"), coalesce(col("jt_keeper"), col("keeper"))).as("keeper"))
         .localCheckpoint()
       converged = joined.filter(col("keeper") =!= col("prev")).isEmpty
       labels = joined.select(col("x"), col("keeper"))

@@ -42,56 +42,13 @@ case class MapRows(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(elemType, containsNull = false)
 
-  private val noticeLonger = UTF8String.fromString(Model.NoticeRowLonger)
-  private val noticeShorter = UTF8String.fromString(Model.NoticeRowShorter)
-  private val noticeNone = UTF8String.fromString("")
-
   override def nullSafeEval(namesAny: Any, valsAny: Any): Any = {
     val names = namesAny.asInstanceOf[ArrayData]
     val rows = valsAny.asInstanceOf[ArrayData]
-    val nNames = names.numElements()
     val out = new Array[Any](rows.numElements())
     var r = 0
     while (r < rows.numElements()) {
-      val vals = rows.getArray(r)
-      val nVals = vals.numElements()
-      val mismatch = nVals != nNames
-      // entry pairs, then an insertion-sort by key (rows are narrow)
-      val keys = new Array[UTF8String](nVals)
-      val vs = new Array[UTF8String](nVals)
-      var i = 0
-      while (i < nVals) {
-        keys(i) =
-          if (mismatch) UTF8String.fromString(s"(unknown_$i)")
-          else names.getUTF8String(i)
-        vs(i) = vals.getUTF8String(i)
-        i += 1
-      }
-      i = 1
-      while (i < nVals) {
-        val k = keys(i); val v = vs(i)
-        var j = i - 1
-        while (j >= 0 && keys(j).compareTo(k) > 0) {
-          keys(j + 1) = keys(j); vs(j + 1) = vs(j); j -= 1
-        }
-        keys(j + 1) = k; vs(j + 1) = v
-        i += 1
-      }
-      val sb = new java.lang.StringBuilder(32)
-      val entries = new Array[Any](nVals)
-      i = 0
-      while (i < nVals) {
-        if (i > 0) sb.append(',')
-        sb.append(keys(i).toString).append('=').append(vs(i).toString)
-        entries(i) = InternalRow(keys(i), vs(i))
-        i += 1
-      }
-      val notice =
-        if (!mismatch) noticeNone
-        else if (nVals > nNames) noticeLonger
-        else noticeShorter
-      out(r) = InternalRow(
-        UTF8String.fromString(sb.toString), notice, new GenericArrayData(entries))
+      out(r) = MapRows.mapPhysicalRow(names, rows.getArray(r))
       r += 1
     }
     new GenericArrayData(out)
@@ -104,6 +61,61 @@ case class MapRows(left: Expression, right: Expression)
 
 object MapRows {
   val Name = "graft_map_rows"
+
+  private val noticeLonger = UTF8String.fromString(Model.NoticeRowLonger)
+  private val noticeShorter = UTF8String.fromString(Model.NoticeRowShorter)
+  private val noticeNone = UTF8String.fromString("")
+
+  /** One physical row's mapping — zip/mismatch-rename, key insertion-sort,
+    * canonical repr, exact notice — as an InternalRow(repr, notice,
+    * entries). Shared by [[MapRows]] and the fused route expression
+    * ([[RouteMsgs]]) so both produce bit-identical values.
+    * `withEntries = false` skips materializing the entries array (the
+    * struct field is null) for consumers that never read it.
+    */
+  private[functions] def mapPhysicalRow(names: ArrayData,
+      vals: ArrayData, withEntries: Boolean = true): InternalRow = {
+    val nNames = names.numElements()
+    val nVals = vals.numElements()
+    val mismatch = nVals != nNames
+    // entry pairs, then an insertion-sort by key (rows are narrow)
+    val keys = new Array[UTF8String](nVals)
+    val vs = new Array[UTF8String](nVals)
+    var i = 0
+    while (i < nVals) {
+      keys(i) =
+        if (mismatch) UTF8String.fromString(s"(unknown_$i)")
+        else names.getUTF8String(i)
+      vs(i) = vals.getUTF8String(i)
+      i += 1
+    }
+    i = 1
+    while (i < nVals) {
+      val k = keys(i); val v = vs(i)
+      var j = i - 1
+      while (j >= 0 && keys(j).compareTo(k) > 0) {
+        keys(j + 1) = keys(j); vs(j + 1) = vs(j); j -= 1
+      }
+      keys(j + 1) = k; vs(j + 1) = v
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    val entries = if (withEntries) new Array[Any](nVals) else null
+    i = 0
+    while (i < nVals) {
+      if (i > 0) sb.append(',')
+      sb.append(keys(i).toString).append('=').append(vs(i).toString)
+      if (withEntries) entries(i) = InternalRow(keys(i), vs(i))
+      i += 1
+    }
+    val notice =
+      if (!mismatch) noticeNone
+      else if (nVals > nNames) noticeLonger
+      else noticeShorter
+    InternalRow(
+      UTF8String.fromString(sb.toString), notice,
+      if (withEntries) new GenericArrayData(entries) else null)
+  }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

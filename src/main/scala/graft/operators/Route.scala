@@ -28,25 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object Route {
 
-  private def msgStruct(eventType: Column, rowRepr: Column, oldRepr: Column,
-      newRepr: Column, notice: Column, newNotice: Column, query: Column,
-      rowEntries: Column, oldEntries: Column, newEntries: Column): Column =
-    struct(
-      eventType.as("event_type"),
-      rowRepr.as("row_repr"),
-      oldRepr.as("old_repr"),
-      newRepr.as("new_repr"),
-      notice.as("mapping_notice"),
-      newNotice.as("new_mapping_notice"),
-      query.as("query"),
-      rowEntries.as("row_entries"),
-      oldEntries.as("old_entries"),
-      newEntries.as("new_entries"))
-
-  private val nullStr = lit(null).cast("string")
-  private val entriesType = "array<struct<k:string,v:string>>"
-  private val nullEntries = lit(null).cast(entriesType)
-
   /** Key-sorted (k,v) entries of one mapped physical row — the Data.Row
     * analog (`message.go:52-57`), canonical for serialization: Go marshals
     * map keys alphabetically (§1.3 of SURVEY.md).
@@ -67,53 +48,19 @@ object Route {
     col("matched") && col("txn_id").isNotNull
 
   def messages(enriched: DataFrame): DataFrame = {
-    graft.functions.MapRows.register(enriched.sparkSession)
-    val names = col("field_names")
-    val vals = col("vals")
-
     val queryKept = (col("kind") === "query") && !col("suppressed")
-    val insertDelete = col("kind").isin("insert", "delete") && committedRow
-    val updateOk = (col("kind") === "update") && committedRow &&
-      (size(vals) >= 2) && (size(vals) % 2 === 0)
 
-    // All per-physical-row mapping (zip, mismatch, sort, repr) fused into
-    // one compiled pass — see graft.functions.MapRows for why.
-    val mapped = graft.functions.MapRows(names, vals)
-
-    val queryMsg = array(msgStruct(
-      lit(Model.EventType.Query), nullStr, nullStr, nullStr, lit(""), nullStr,
-      col("stmt"), nullEntries, nullEntries, nullEntries))
-
-    val insertDeleteMsgs = transform(mapped, m => msgStruct(
-      when(col("kind") === "insert", Model.EventType.Insert)
-        .otherwise(Model.EventType.Delete),
-      m.getField("repr"), nullStr, nullStr,
-      m.getField("notice"), nullStr, nullStr,
-      m.getField("entries"), nullEntries, nullEntries))
-
-    // old/new adjacent pairs: element_at is 1-based → old = 2i+1, new = 2i+2.
-    // Each side carries its OWN mismatch notice: the reference runs
-    // detectMismatch per physical row (`row_data.go:15`), so OldData and
-    // NewData diverge when only one side's length mismatches field_names
-    // (ADVICE r03).
-    val updateMsgs = transform(
-      sequence(lit(0), (size(vals) / 2).cast("int") - 1),
-      i => msgStruct(
-        lit(Model.EventType.Update), nullStr,
-        element_at(mapped, i * 2 + 1).getField("repr"),
-        element_at(mapped, i * 2 + 2).getField("repr"),
-        element_at(mapped, i * 2 + 1).getField("notice"),
-        element_at(mapped, i * 2 + 2).getField("notice"),
-        nullStr,
-        nullEntries,
-        element_at(mapped, i * 2 + 1).getField("entries"),
-        element_at(mapped, i * 2 + 2).getField("entries")))
-
-    val msgs = when(queryKept, queryMsg)
-      .when(insertDelete, insertDeleteMsgs)
-      .when(updateOk, updateMsgs)
-      .otherwise(array().cast(
-        s"array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,new_mapping_notice:string,query:string,row_entries:$entriesType,old_entries:$entriesType,new_entries:$entriesType>>"))
+    // The whole queryKept/insertDelete/updateOk dispatch + per-physical-row
+    // mapping + old/new pairing is ONE compiled pass ([[RouteMsgs]]): the
+    // previous CASE/transform/element_at tree evaluated its HOF lambdas
+    // interpreted per element and re-ran MapRows six times per update pair
+    // (no subexpression elimination under Generate) — it was the hottest
+    // block of the whole pipeline. Semantics pinned byte-identical by
+    // RouteSpec's equivalence test, the golden fixtures and the
+    // k3/k2b/e4 oracles.
+    val msgs = graft.functions.RouteMsgs(
+      col("kind"), col("suppressed"), col("stmt"), col("field_names"),
+      col("vals"), committedRow, withEntries = true)
 
     enriched
       .select(

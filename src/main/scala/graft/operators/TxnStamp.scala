@@ -70,13 +70,17 @@ object TxnStamp {
     val inBlock = withBlock.withColumn("txn_in_block",
       last(when(col("kind") === "commit", col("xid")), ignoreNulls = true).over(wIn))
 
-    // ONE aggregation over the SHARED exchange produces the whole
-    // (conv, block) domain with the xid of each block's first commit (null
-    // when none) — rows ≈ #blocks, not #turns, and the upstream is
-    // computed exactly once.
+    // ONE aggregation produces the whole (conv, block) domain with the xid
+    // of each block's first commit (null when none) — rows ≈ #blocks, not
+    // #turns. min_by(xid, turn_idx-of-commits) ≡ the previous
+    // min(struct(turn_idx, xid)).xid (same first-commit pick, null xid
+    // preserved, non-commits skipped via the null ordering key) but is a
+    // DECLARATIVE aggregate with a primitive buffer, so it plans as a
+    // HashAggregate — the struct-min forced a SortAggregate, i.e. a full
+    // extra sort of the frame in this branch.
     val summary = withBlock.groupBy("conv_id", "salt_block")
-      .agg(min(when(col("kind") === "commit", struct(col("turn_idx"), col("xid"))))
-        .getField("xid").as("first_xid"))
+      .agg(min_by(col("xid"),
+        when(col("kind") === "commit", col("turn_idx"))).as("first_xid"))
 
     // next_xid(b) = first commit xid among STRICTLY LATER blocks: a running
     // last-non-null over DESC block order, shifted one row by lag (both

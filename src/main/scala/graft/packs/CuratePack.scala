@@ -57,13 +57,16 @@ object CuratePack extends QueryPack {
     // asserts the invariants hold (bloom bits are engine-specific, so the
     // invariant, not the bit pattern, is the portable truth).
     "cur_decontaminate_bloom" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val exact = Curate.decontaminate(d)
+      // one materialized shingle pass serves all FOUR consumers (exact
+      // path, bloom build, bloom apply, clean-count) — the previous
+      // composition re-shingled the corpus five times because each
+      // consumer's plan re-executed the shared subtree
+      val sh = Curate.shingled(docs(s, dir)).localCheckpoint()
+      val exact = Curate.decontaminateShingled(sh)
         .select(col("doc_id"), col("n_hits").as("exact_hits"))
-      val bloom = Curate.decontaminateBloom(d)
+      val bloom = Curate.decontaminateBloomShingled(sh)
         .select(col("doc_id").as("b_doc"), col("n_hits").as("bloom_hits"))
-      val clean = d.select(Curate.isBenchmark().as("is_bench"),
-          size(graft.dedup.Dedup.shingles(col("text"))).as("ns"))
+      val clean = sh.select(col("is_bench"), size(col("shs")).as("ns"))
         .filter(!col("is_bench") && col("ns") > 0)
         .agg(count(lit(1)).as("n_clean"))
       exact.join(bloom, exact("doc_id") === bloom("b_doc"), "full_outer")

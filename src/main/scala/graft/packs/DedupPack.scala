@@ -112,13 +112,16 @@ object DedupPack extends QueryPack {
         .schema(docs(s, dir).schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      val q = graft.streaming.StreamingPipeline.dedupStream(input)
-        .writeStream.format("memory").queryName("dedup_stream_exact")
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      s.table("dedup_stream_exact")
+      Replay.withCheckpointDir("graft-dse-ckpt") { ckpt =>
+        val q = graft.streaming.StreamingPipeline.dedupStream(input)
+          .writeStream.format("memory").queryName("dedup_stream_exact")
+          .option("checkpointLocation", ckpt)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table("dedup_stream_exact")
+      }
     }),
     // bounded-state streaming dedup — the mode a real unbounded ingest
     // runs (VERDICT r04 #4): dropDuplicatesWithinWatermark with a
@@ -173,6 +176,7 @@ object DedupPack extends QueryPack {
         val out = graft.streaming.StreamingPipeline.dedupStream(
           input, "event_ts", withinWatermark = Some("10 minutes"))
         val q = out.writeStream.format("memory").queryName("dedup_stream_wm")
+          .option("checkpointLocation", Replay.checkpointIn(replayDir))
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

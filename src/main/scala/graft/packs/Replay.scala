@@ -10,14 +10,42 @@ import org.apache.spark.sql.DataFrame
   */
 object Replay {
 
+  /** Fast local scratch base for replay fixtures AND streaming
+    * checkpoints: the same `SPARK_LOCAL_DIRS` default every graft session
+    * uses for `spark.local.dir` (tmpfs in this sandbox). The JVM default
+    * temp dir sits on the slow root disk, and the state-store commit files
+    * written there dominated the streaming-evidence queries (measured:
+    * k4's windowed-agg state commit alone was ~3 s/batch on /tmp).
+    * Falls back to the JVM temp dir when the fast base is unavailable.
+    */
+  private def scratchBase(): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+    try { java.nio.file.Files.createDirectories(base); base }
+    catch { case _: Throwable =>
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")) }
+  }
+
   /** Temp replay dir for the duration of `f`, deleted recursively after —
     * safe because the memory-sink tables the harnesses return hold their
     * rows in driver memory, not in the replay files.
     */
   def withReplayDir[T](prefix: String)(f: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val dir = java.nio.file.Files.createTempDirectory(scratchBase(), prefix)
     try f(dir.toString) finally deleteRecursively(dir)
   }
+
+  /** Streaming checkpoint location under the replay dir: the file stream
+    * source ignores `_`-prefixed paths, so the checkpoint can live inside
+    * the streamed directory and shares its cleanup.
+    */
+  def checkpointIn(replayDir: String): String = s"$replayDir/_ckpt"
+
+  /** Standalone fast checkpoint dir (for streams whose source dir is
+    * read-only, e.g. the sf-dir document replays): caller-scoped cleanup.
+    */
+  def withCheckpointDir[T](prefix: String)(f: String => T): T =
+    withReplayDir(prefix)(f)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

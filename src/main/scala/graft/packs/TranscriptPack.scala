@@ -234,6 +234,7 @@ object TranscriptPack extends QueryPack {
         val stamped = graft.streaming.StreamingPipeline.stamped(input)
           .select(col("conv_id"), col("turn_idx"), col("kind"), col("txn_id"))
         val q = stamped.writeStream.format("memory").queryName("g2_stream_oracle")
+          .option("checkpointLocation", Replay.checkpointIn(replayDir))
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -265,6 +266,7 @@ object TranscriptPack extends QueryPack {
           .select(Parse.eventTime(col("window.start")).as("win_start"),
             col("role"), col("tool"), col("event_type"), col("n"))
         val q = counts.writeStream.format("memory").queryName("k4_windowed")
+          .option("checkpointLocation", Replay.checkpointIn(replayDir))
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -325,6 +327,7 @@ object TranscriptPack extends QueryPack {
             Parse.eventTime(col("sess_end")).as("sess_end"),
             col("first_turn"), col("last_turn"), col("n_turns"))
         val q = sess.writeStream.format("memory").queryName("x4_session_stream")
+          .option("checkpointLocation", Replay.checkpointIn(replayDir))
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

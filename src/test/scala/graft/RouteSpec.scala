@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Agg, Route, TxnStamp, Parse}
 import graft.sources.Transcripts
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Routing semantics — message multiplicity, txn stamping, filters.
@@ -132,6 +133,72 @@ class RouteSpec extends SparkSpec {
       ("c1", 1, "user", weird, "search"),
       ("c1", 2, "user", "EVENT commit xid=2", "search"))).collect()
     assert(out.length == 1 && out.head.getAs[String]("text") == weird)
+  }
+
+  test("fused RouteMsgs ≡ the legacy CASE/transform/element_at message tree") {
+    // the expression tree RouteMsgs replaced, rebuilt verbatim — every
+    // branch (query kept/suppressed, insert multi-row, delete, update
+    // pairing incl. per-side notices, odd-update quarantine, mismatch
+    // renames, unmapped, uncommitted, noise) exercised by the fixture
+    graft.functions.MapRows.register(spark)
+    val entriesType = "array<struct<k:string,v:string>>"
+    val nullStr = lit(null).cast("string")
+    val nullEntries = lit(null).cast(entriesType)
+    def msgStruct(et: Column, rr: Column, or: Column, nr: Column, no: Column,
+        nn: Column, q: Column, re: Column, oe: Column, ne: Column): Column =
+      struct(et.as("event_type"), rr.as("row_repr"), or.as("old_repr"),
+        nr.as("new_repr"), no.as("mapping_notice"), nn.as("new_mapping_notice"),
+        q.as("query"), re.as("row_entries"), oe.as("old_entries"),
+        ne.as("new_entries"))
+    val names = col("field_names")
+    val vals = col("vals")
+    val committed = col("matched") && col("txn_id").isNotNull
+    val queryKept = (col("kind") === "query") && !col("suppressed")
+    val insertDelete = col("kind").isin("insert", "delete") && committed
+    val updateOk = (col("kind") === "update") && committed &&
+      (size(vals) >= 2) && (size(vals) % 2 === 0)
+    val mapped = graft.functions.MapRows(names, vals)
+    val legacy = when(queryKept, array(msgStruct(lit("Query"), nullStr,
+        nullStr, nullStr, lit(""), nullStr, col("stmt"), nullEntries,
+        nullEntries, nullEntries)))
+      .when(insertDelete, transform(mapped, m => msgStruct(
+        when(col("kind") === "insert", "Insert").otherwise("Delete"),
+        m.getField("repr"), nullStr, nullStr, m.getField("notice"), nullStr,
+        nullStr, m.getField("entries"), nullEntries, nullEntries)))
+      .when(updateOk, transform(
+        sequence(lit(0), (size(vals) / 2).cast("int") - 1),
+        i => msgStruct(lit("Update"), nullStr,
+          element_at(mapped, i * 2 + 1).getField("repr"),
+          element_at(mapped, i * 2 + 2).getField("repr"),
+          element_at(mapped, i * 2 + 1).getField("notice"),
+          element_at(mapped, i * 2 + 2).getField("notice"),
+          nullStr, nullEntries,
+          element_at(mapped, i * 2 + 1).getField("entries"),
+          element_at(mapped, i * 2 + 2).getField("entries"))))
+      .otherwise(array().cast(s"array<struct<event_type:string,row_repr:string,old_repr:string,new_repr:string,mapping_notice:string,new_mapping_notice:string,query:string,row_entries:$entriesType,old_entries:$entriesType,new_entries:$entriesType>>"))
+    val fused = graft.functions.RouteMsgs(col("kind"), col("suppressed"),
+      col("stmt"), names, vals, committed, withEntries = true)
+    val enriched = Pipeline.enriched(mkTurns(Seq(
+      ("c1", 1, "user", "EVENT insert rows=2 vals=[1|a|b];[2|c|d]", "search"),
+      ("c1", 2, "user", "EVENT insert rows=1 vals=[1|too|many|cols]", "search"),
+      ("c1", 3, "user", "EVENT delete rows=1 vals=[1|x]", "search"),
+      ("c1", 4, "user", "EVENT update rows=2 vals=[1|a|b];[1|a|c]", "search"),
+      ("c1", 5, "user", "EVENT update rows=3 vals=[1|a|b];[1|a|c];[odd|row]", "search"),
+      ("c1", 6, "user", "EVENT update rows=2 vals=[1|a|b|extra];[1|short]", "search"),
+      ("c1", 7, "user", "EVENT query stmt=CREATE TABLE t1 (id INT)", "search"),
+      ("c1", 8, "user", "EVENT query stmt=BEGIN", "search"),
+      ("c1", 9, "user", "EVENT query stmt= SAVEPOINT sp1", "search"),
+      ("c1", 10, "user", "note noise", "search"),
+      ("c1", 11, "user", "EVENT commit xid=77", "search"),
+      ("c1", 12, "user", "EVENT insert rows=1 vals=[9|un|committed]", "search"),
+      ("c2", 1, "user", "EVENT insert rows=1 vals=[1|un|mapped]", "nosuchtool"),
+      ("c2", 2, "user", "EVENT commit xid=78", "search"))),
+      Transcripts.lookup(spark))
+    val both = enriched.select(col("conv_id"), col("turn_idx"),
+      legacy.as("legacy"), fused.as("fused"))
+    val diff = both.filter(
+      !(col("legacy") <=> col("fused"))).collect()
+    assert(diff.isEmpty, s"RouteMsgs diverges from legacy tree: ${diff.mkString("\n")}")
   }
 
   test("conservation ledger: every turn accounted (F09/A1)") {
