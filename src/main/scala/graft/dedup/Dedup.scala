@@ -260,17 +260,13 @@ object Dedup {
   /** Min-label propagation to a true fixed point over any orderable label
     * type (see [[resolveKeepers]] for the algorithm and scale notes).
     *
-    * Each round combines the one-hop neighbor min with a POINTER JUMP —
-    * adopting the current label OF the node one's label points at
-    * (`labelNode` extracts that node id from a label). Jumping doubles the
-    * distance label information travels per round (O(log diameter) rounds
-    * instead of O(diameter)) while preserving the invariants the plain
-    * rounds have: labels only decrease, a label always names a node in
-    * one's own component, and the fixed point is still the exact
-    * per-component minimum — when nothing changes, every label equals both
-    * its neighborhood min and its target's label, which is exactly the
-    * plain iteration's fixed point. Cost per round: one extra equi-join of
-    * the label table with itself (node-keyed, same scale shape).
+    * Plain one-hop rounds, deliberately: a pointer-jumping variant
+    * (keeper ← min(keeper, labels[node(keeper)]) each round, O(log d)
+    * rounds) was implemented and MEASURED SLOWER on every resolve query —
+    * the LSH/cluster-verified dup components have diameter 3–4, so
+    * jumping saves at most one round while adding a label-table self-join
+    * to every round. `labelNode` (label → node id) is kept in the
+    * signature for symmetry with the struct-label mode.
     */
   private def propagateMin(edges: DataFrame, init: DataFrame,
       maxIters: Int, labelNode: Column => Column): DataFrame = {
@@ -281,20 +277,12 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("x").as("y"), col("keeper").as("nbr_keeper")), "y")
         .groupBy("x").agg(min(col("nbr_keeper")).as("nk"))
-      val stepped = labels.join(viaNeighbor, Seq("x"), "left")
-        .select(col("x"), col("keeper").as("prev"),
-          least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
-      // pointer jump: keeper ← min(keeper, labels[node(keeper)]) — the
-      // label table itself, keyed by its (unique) node id
-      val jumpTargets = labels
-        .select(col("x").as("jt"), col("keeper").as("jt_keeper"))
       // carry the previous label through the same projection so the
       // convergence check is a filter over the checkpointed result, not a
       // second labels×labels join per iteration
-      val joined = stepped
-        .join(jumpTargets, labelNode(col("keeper")) === col("jt"), "left")
-        .select(col("x"), col("prev"),
-          least(col("keeper"), coalesce(col("jt_keeper"), col("keeper"))).as("keeper"))
+      val joined = labels.join(viaNeighbor, Seq("x"), "left")
+        .select(col("x"), col("keeper").as("prev"),
+          least(col("keeper"), coalesce(col("nk"), col("keeper"))).as("keeper"))
         .localCheckpoint()
       converged = joined.filter(col("keeper") =!= col("prev")).isEmpty
       labels = joined.select(col("x"), col("keeper"))

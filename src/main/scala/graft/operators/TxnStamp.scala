@@ -54,15 +54,16 @@ object TxnStamp {
     */
   def stampSalted(parsed: DataFrame, blockSize: Int = 4096): DataFrame = {
     val block = (col("turn_idx").cast("long") / blockSize).cast("long").as("salt_block")
-    // ONE explicit exchange on (conv_id, salt_block), SHARED by the window
-    // and the per-block summary below (ReusedExchange): both consumers'
-    // required distribution is satisfied by this repartition, so the
-    // window adds no exchange and the summary aggregates in place. The old
-    // shape derived `summary` from the pre-shuffle frame, whose plan
-    // re-ran the entire upstream (synthetic generation / scan + parse) a
-    // second time just to count commits per block (guide §2.4).
+    // NOTE on plan shape (measured this round): the window branch and the
+    // per-block summary branch cannot share one exchange — Catalyst's
+    // column pruning specializes each consumer's subtree (the window needs
+    // the payload columns, the summary only (conv, block, kind, xid)), so
+    // ReusedExchange/AQE stage reuse never fire and the summary re-runs
+    // the pruned upstream. An explicit repartition here was tried and
+    // REGRESSED 3× on the fine-block query: it added a full pre-aggregation
+    // exchange to the summary branch, whereas the plain shape partial-
+    // aggregates map-side and exchanges only ~#blocks partial rows.
     val withBlock = parsed.withColumn("salt_block", block)
-      .repartition(col("conv_id"), col("salt_block"))
 
     // running frame over DESC order: O(block), same O(n²)-avoidance as stamp
     val wIn = Window.partitionBy("conv_id", "salt_block").orderBy(col("turn_idx").desc)
