@@ -88,11 +88,14 @@ object Similarity {
   def lshTopKMulti(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    // materialized once — referenced by the corpus side AND the broadcast
+    // query side (see cosineNearDup)
     val tabled = base.select(col("vec_id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("emb"), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .localCheckpoint()
     val qTabled = broadcast(tabled
       .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q"), col("t"), col("bucket")))
@@ -308,11 +311,16 @@ object Similarity {
   def cosineNearDup(emb: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
     val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    // narrow (vec_id, t, bucket) assignment table materialized once: both
+    // self-join sides reference it, and the broadcast/build side would
+    // otherwise re-run the nTables x nPlanes projection pass over the
+    // corpus (same rationale as the simhash fingerprint materialization)
     val tabled = base.select(col("vec_id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("emb"), nPlanes, t * nPlanes).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .localCheckpoint()
     val l = tabled.select(col("t"), col("bucket"), col("vec_id").as("a"))
     val r = tabled.select(col("t").as("t_r"), col("bucket").as("bucket_r"),
       col("vec_id").as("b"))
@@ -408,10 +416,14 @@ object Similarity {
     val scored = transform(col("cent_arr"), c =>
       struct(cosine(col("emb"), c.getField("cent_emb")).as("s"),
         (-c.getField("cent_id")).as("negid")))
+    // narrow (cent_id, vec_id) probe-assignment table materialized once:
+    // both self-join sides reference it, and the build side would
+    // otherwise re-run the k-cosine row-local assignment over the corpus
     val probed = base.join(broadcast(centArr))
       .select(col("vec_id"),
         explode(slice(reverse(array_sort(scored)), 1, nProbe)).as("pc"))
       .select((-col("pc.negid")).as("cent_id"), col("vec_id"))
+      .localCheckpoint()
     val l = probed.select(col("cent_id"), col("vec_id").as("a"))
     val r = probed.select(col("cent_id").as("cent_id_r"), col("vec_id").as("b"))
     val cand = l.join(r, l("cent_id") === r("cent_id_r") && l("a") < r("b"))

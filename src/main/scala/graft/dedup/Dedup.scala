@@ -93,7 +93,14 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bandsRaw = minhashBands(docs)
-    val bands =
+    // Materialize the NARROW banded table once: the candidate self-join
+    // references it on BOTH sides, and the build side is a
+    // BroadcastExchange whose subtree re-executes — i.e. the whole
+    // shingle+MinHash md5 pass ran twice per query (AQE stage reuse only
+    // covers shuffle exchanges). Same narrow-intermediate materialization
+    // as the simhash fingerprint table; rows are (doc_id, band_idx,
+    // band_hash), bucket-capped, bounded well below the corpus payload.
+    val bands = (
       if (maxBucket == Int.MaxValue) bandsRaw
       else {
         val w = org.apache.spark.sql.expressions.Window
@@ -101,7 +108,7 @@ object Dedup {
         bandsRaw.withColumn("bucket_rank", row_number().over(w))
           .filter(col("bucket_rank") <= maxBucket)
           .drop("bucket_rank")
-      }
+      }).localCheckpoint()
     val l = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"))
     val r = bands.select(col("band_idx").as("band_idx_r"),
       col("band_hash").as("band_hash_r"), col("doc_id").as("b"))
@@ -221,8 +228,12 @@ object Dedup {
     * clusters (near-cliques) keep tiny.
     */
   def resolveKeepers(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+    // checkpoint the pair list FIRST: the symmetric union references it
+    // twice, so checkpointing only the union ran the entire upstream
+    // candidate-generation pipeline twice
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val init = edges.select(col("x")).distinct().withColumn("keeper", col("x"))
     propagateMin(edges, init, maxIters, identity)
@@ -244,8 +255,10 @@ object Dedup {
     */
   def resolveKeepersBy(pairs: DataFrame, priority: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+    // see resolveKeepers: checkpoint before the symmetric self-union
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
     val init = edges.select(col("x")).distinct()
       .join(priority.select(col("doc_id").as("x"),
