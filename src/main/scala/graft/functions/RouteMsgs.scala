@@ -15,13 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[MapRows.mapPhysicalRow]], and old/new update pairing) in ONE compiled
   * pass per turn.
   *
-  * Why: the built-in formulation it replaces was the pipeline's single
-  * hottest block (38% of the 2-core run) — a `CASE WHEN … transform(
-  * maprows(…), λ) … transform(sequence(…), λ)` tree under the explode,
-  * where every HOF lambda evaluates interpreted per element with NO
-  * subexpression elimination: the update branch re-evaluated `maprows`
+  * Why: the built-in formulation it replaces was a `CASE WHEN …
+  * transform(maprows(…), λ) … transform(sequence(…), λ)` tree under the
+  * explode, where every HOF lambda evaluates interpreted per element with
+  * NO subexpression elimination — the update branch re-evaluated `maprows`
   * SIX times per pair (element_at × {old,new} × {repr,notice,entries}).
-  * Same fusion rationale as [[MapRows]]/[[ParseVals]] (guide §1.2 step 2).
+  * Measured honestly (OPTIMIZATION_r06.md §3): throughput is on par with
+  * the old tree (route cost is explode + output materialization, not
+  * lambda dispatch — updates are only ~10% of turns); the fusion is kept
+  * for the ~20× smaller Generate expression (cheaper analysis/codegen per
+  * query) and plan readability. Same construction as [[MapRows]].
   *
   * Inputs (children, in order): kind, suppressed, stmt, field_names, vals,
   * committed (= matched && txn_id IS NOT NULL).

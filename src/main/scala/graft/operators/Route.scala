@@ -54,10 +54,11 @@ object Route {
     // mapping + old/new pairing is ONE compiled pass ([[RouteMsgs]]): the
     // previous CASE/transform/element_at tree evaluated its HOF lambdas
     // interpreted per element and re-ran MapRows six times per update pair
-    // (no subexpression elimination under Generate) — it was the hottest
-    // block of the whole pipeline. Semantics pinned byte-identical by
-    // RouteSpec's equivalence test, the golden fixtures and the
-    // k3/k2b/e4 oracles.
+    // (no subexpression elimination under Generate). Throughput is on par
+    // (see RouteMsgs scaladoc); the win is the ~20× smaller Generate
+    // expression (per-query analysis/codegen) and plan readability.
+    // Semantics pinned byte-identical by RouteSpec's equivalence test, the
+    // golden fixtures and the k3/k2b/e4 oracles.
     val msgs = graft.functions.RouteMsgs(
       col("kind"), col("suppressed"), col("stmt"), col("field_names"),
       col("vals"), committedRow, withEntries = true)
