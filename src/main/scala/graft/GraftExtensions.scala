@@ -58,7 +58,12 @@ object GraftExtensions {
     require(e.foldable, s"$fn: $arg must be a literal integer, got $e")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      // exact: an out-of-Int-range bigint plane argument must error, not
+      // silently wrap (ADVICE r05)
+      case l: Long => try Math.toIntExact(l) catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"$fn: $arg must be a literal integer in Int range, got $l")
+      }
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(
